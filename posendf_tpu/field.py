@@ -1,0 +1,58 @@
+"""Distance-field evaluation APIs: value, gradient, value-and-gradient.
+
+The reference obtains pose gradients with ``torch.autograd.grad(outputs,
+inputs, grad_outputs=ones, create_graph=True)``
+(``model/posendf.py:18-27``, ``experiments/sample_poses.py:25-34``). Because
+each output distance depends only on its own input pose, that is exactly one
+VJP with a ones cotangent — so here it is a single ``jax.vjp`` pullback for
+the whole batch (one forward + one backward, no per-sample loop), fully
+jittable and differentiable again for the eikonal term.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["make_field", "Field"]
+
+
+class Field:
+    """Thin functional wrapper around a PoseNDF module + params."""
+
+    def __init__(self, module, params):
+        self.module = module
+        self.params = params
+
+    def distance(self, pose: jax.Array) -> jax.Array:
+        """(B, 21, 4) -> (B, 1)."""
+        return self.module.apply({"params": self.params}, pose)
+
+    def distance_and_grad(self, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return distance_and_grad(self.module, self.params, pose)
+
+
+def distance_fn(module, params) -> Callable[[jax.Array], jax.Array]:
+    def f(pose: jax.Array) -> jax.Array:
+        return module.apply({"params": params}, pose)
+
+    return f
+
+
+def distance_and_grad(module, params, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batched (d, dd/dpose): (B, 21, 4) -> ((B, 1), (B, 21, 4)).
+
+    The gradient is taken w.r.t. the *raw* input pose, through the joint-axis
+    normalization inside the model — matching the reference, which sets
+    ``requires_grad`` on the pre-normalization pose (``model/posendf.py:64-71``).
+    """
+    f = distance_fn(module, params)
+    d, pullback = jax.vjp(f, pose)
+    (g,) = pullback(jnp.ones_like(d))
+    return d, g
+
+
+def make_field(module, params) -> Field:
+    return Field(module, params)

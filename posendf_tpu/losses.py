@@ -1,0 +1,72 @@
+"""Training losses for the distance field.
+
+Capability parity with the reference training objective
+(``model/posendf.py:62-99``):
+
+  * distance loss  — L1 (or L2) between predicted and kNN-labeled distance,
+    on the squeezed (B,) prediction (reference uses ``dist_pred[:, 0]``);
+  * manifold loss  — mean |d| on clean AMASS poses (their true distance is 0);
+    note the reference does NOT joint-axis-normalize the manifold branch
+    (``model/posendf.py:80-83``) — reproduced here;
+  * eikonal loss   — ((||grad_pose d||_2 - 1)^2) averaged over batch x joints,
+    with the gradient taken w.r.t. the raw pose through the normalization
+    (``model/posendf.py:89-96``; per-joint norms since grad has shape
+    (B, 21, 4) and the norm is over the last axis).
+
+The eikonal term needs grad-of-grad: computed with one ``jax.vjp`` inside the
+loss, differentiated again by the outer ``jax.grad`` over params. XLA shares
+the forward between the value and the pullback, so the step costs ~3 dfnet
+passes, not 4+.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LossWeights", "training_loss"]
+
+
+def training_loss(
+    module,
+    params,
+    pose: jax.Array,
+    dist_gt: jax.Array,
+    man_poses: jax.Array,
+    *,
+    loss_type: str = "l1",
+    weight_dist: float = 1.0,
+    weight_man: float = 1.0,
+    weight_eikonal: float = 1.0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Total weighted loss and per-term dict (weights applied by the caller
+    in the reference trainer ``model/train_posendf.py:94-97``; here the total
+    is returned directly alongside unweighted terms for logging)."""
+    pose = pose.reshape(-1, 21, 4)
+    man_poses = man_poses.reshape(-1, 21, 4)
+    dist_gt = dist_gt.reshape(-1)
+
+    def f(p):
+        return module.apply({"params": params}, p)
+
+    dist_pred, pullback = jax.vjp(f, pose)
+    (grad_pose,) = pullback(jnp.ones_like(dist_pred))
+
+    if loss_type == "l1":
+        loss_dist = jnp.mean(jnp.abs(dist_pred[:, 0] - dist_gt))
+    elif loss_type == "l2":
+        loss_dist = jnp.mean((dist_pred[:, 0] - dist_gt) ** 2)
+    else:
+        raise ValueError(f"unknown loss_type {loss_type!r}")
+
+    dist_man = module.apply({"params": params}, man_poses, normalize_input=False)
+    loss_man = jnp.mean(jnp.abs(dist_man))
+
+    grad_norm = jnp.linalg.norm(grad_pose, axis=-1)  # (B, 21)
+    loss_eik = jnp.mean((grad_norm - 1.0) ** 2)
+
+    total = weight_dist * loss_dist + weight_man * loss_man + weight_eikonal * loss_eik
+    terms = {"dist": loss_dist, "man_loss": loss_man, "eikonal": loss_eik}
+    return total, terms

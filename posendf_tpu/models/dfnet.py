@@ -1,0 +1,58 @@
+"""DFNet: the distance head mapping the 126-dim structure code to d >= 0.
+
+Capability parity with the reference ``DFNet``
+(``model/network/net_modules.py:9-72``): an MLP
+``in_dim -> dims... -> 1`` with the configured activation between layers and
+a final output activation (ReLU for lrelu/relu configs, Softplus for
+softplus) clamping the predicted distance to be non-negative.
+
+This is where the FLOPs are (~1.36 MFLOP-pairs per pose for the default
+[256, 512, 1024, 512, 256, 64] stack): plain dense layers that XLA tiles
+straight onto the MXU. Weights are stored (in, out) so forwards are
+``x @ w + b`` with no transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posendf_tpu.models.activations import resolve
+
+__all__ = ["DFNet"]
+
+
+def _torch_linear_init(rng: jax.Array, fan_in: int, fan_out: int) -> Tuple[jax.Array, jax.Array]:
+    bound = 1.0 / np.sqrt(fan_in)
+    k1, k2 = jax.random.split(rng)
+    w = jax.random.uniform(k1, (fan_in, fan_out), minval=-bound, maxval=bound)
+    b = jax.random.uniform(k2, (fan_out,), minval=-bound, maxval=bound)
+    return w, b
+
+
+class DFNet(nn.Module):
+    """MLP distance head. (B, in_dim) -> (B, 1), non-negative."""
+
+    in_dim: int = 126
+    dims: Tuple[int, ...] = (256, 512, 1024, 512, 256, 64)
+    activation: str = "lrelu"
+    beta: float = 100.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act, out_act = resolve(self.activation, self.beta)
+        widths = (self.in_dim,) + tuple(self.dims) + (1,)
+        x = x.reshape(x.shape[0], -1)
+        n_layers = len(widths) - 1
+        for l in range(n_layers):
+            fan_in, fan_out = widths[l], widths[l + 1]
+            w = self.param(f"w{l}", lambda rng, fi=fan_in, fo=fan_out: _torch_linear_init(rng, fi, fo)[0])
+            b = self.param(f"b{l}", lambda rng, fi=fan_in, fo=fan_out: _torch_linear_init(rng, fi, fo)[1])
+            x = x @ w + b
+            if l < n_layers - 1:
+                x = act(x)
+        return out_act(x)

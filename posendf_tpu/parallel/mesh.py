@@ -1,0 +1,59 @@
+"""Device-mesh and sharding utilities.
+
+The reference has no distributed machinery at all (SURVEY.md §2.2) — one GPU,
+DataLoader workers, and a Slurm shell fan-out for data prep. The TPU-native
+equivalent is one SPMD program over a ``jax.sharding.Mesh``:
+
+  * axis ``"data"``  — batch data parallelism for training / eval / kNN
+    labeling (gradient psum rides ICI; the model is ~1.3M params and is
+    replicated),
+  * axis ``"seq"``   — frame parallelism for sequence optimization (motion
+    denoising); the temporal loss needs a 1-frame halo exchange
+    (``parallel/halo.py``).
+
+Tested on the virtual 8-device CPU backend; identical code runs on a v5e pod
+slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "P"]
+
+
+def make_mesh(
+    axes: Tuple[str, ...] = ("data",),
+    shape: Optional[Tuple[int, ...]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a mesh over all (or the given) devices.
+
+    Defaults to a 1-D ``data`` mesh over every addressable device — the right
+    layout for this workload (SURVEY.md §2.2: batch DP is the only collective
+    the model needs; no TP/PP at 1.3M params).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a pytree of host arrays with the leading dim sharded."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
