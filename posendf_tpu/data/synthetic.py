@@ -1,0 +1,93 @@
+"""Synthetic dataset fabrication for tests, demos and benchmarks.
+
+The reference has no fixtures at all (SURVEY.md §4); this module fabricates
+tiny AMASS-shaped datasets — clean quaternion pose files and kNN-labeled
+training files — so the full pipeline (loader -> train step -> checkpoint ->
+projection) can run hermetically. The synthetic "manifold" is a smooth
+low-dimensional family of poses, so a trained field genuinely learns
+something projectable in a few hundred steps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["synthetic_manifold_poses", "write_synthetic_dataset"]
+
+
+def synthetic_manifold_poses(rng: np.random.Generator, n: int, num_joints: int = 21) -> np.ndarray:
+    """Sample unit-quaternion poses from a smooth 2-parameter manifold:
+    each joint rotates about a fixed per-joint axis by an angle that is a
+    smooth function of two latent parameters. Returns (n, J, 4) float32."""
+    axes = rng.normal(size=(num_joints, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    freq = rng.uniform(0.5, 2.0, size=(num_joints, 2))
+    phase = rng.uniform(0, 2 * np.pi, size=(num_joints,))
+    u = rng.uniform(0, 2 * np.pi, size=(n, 1, 1))
+    v = rng.uniform(0, 2 * np.pi, size=(n, 1, 1))
+    angle = 0.6 * np.sin(freq[None, :, 0:1] * u + phase[None, :, None]) \
+        + 0.4 * np.cos(freq[None, :, 1:2] * v)
+    angle = angle[..., 0]  # (n, J)
+    half = 0.5 * angle
+    w = np.cos(half)[..., None]
+    xyz = np.sin(half)[..., None] * axes[None]
+    return np.concatenate([w, xyz], axis=-1).astype(np.float32)
+
+
+def _geodesic(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Mean over joints of 1 - |<qa, qb>| ; a (Q,1,J,4) vs b (1,N,J,4) -> (Q,N)."""
+    dots = np.sum(a * b, axis=-1)
+    return np.mean(1.0 - np.abs(dots), axis=-1)
+
+
+def write_synthetic_dataset(
+    root: str,
+    *,
+    subsets: Sequence[str] = ("ACCAD", "CMU"),
+    seqs_per_subset: int = 2,
+    poses_per_seq: int = 256,
+    queries_per_seq: int = 128,
+    k: int = 5,
+    sigmas: Sequence[float] = (0.01, 0.05, 0.1, 0.25, 0.5),
+    seed: int = 0,
+) -> Tuple[str, str]:
+    """Fabricate ``<root>/amass`` (clean quats) and ``<root>/labeled``
+    (noisy quats + exact brute-force kNN geodesic distance labels, the same
+    labeling semantics as the reference pipeline). Returns (labeled_dir,
+    amass_dir)."""
+    rng = np.random.default_rng(seed)
+    amass_dir = os.path.join(root, "amass")
+    labeled_dir = os.path.join(root, "labeled")
+
+    corpus: List[np.ndarray] = []
+    clean_files = []
+    for subset in subsets:
+        os.makedirs(os.path.join(amass_dir, subset), exist_ok=True)
+        for s in range(seqs_per_subset):
+            poses = synthetic_manifold_poses(rng, poses_per_seq)
+            path = os.path.join(amass_dir, subset, f"seq{s:02d}.npz")
+            np.savez(path, pose=poses)
+            clean_files.append(path)
+            corpus.append(poses)
+    corpus_all = np.concatenate(corpus)  # (N, J, 4)
+
+    sigmas = np.asarray(sigmas)
+    for subset in subsets:
+        os.makedirs(os.path.join(labeled_dir, subset), exist_ok=True)
+        for s in range(seqs_per_subset):
+            base_idx = rng.integers(0, len(corpus_all), queries_per_seq)
+            base = corpus_all[base_idx]
+            sig = rng.choice(sigmas, size=(queries_per_seq, 1, 1))
+            noisy = base + sig * rng.random(base.shape)
+            noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
+            d = _geodesic(noisy[:, None], corpus_all[None])  # (Q, N)
+            nn = np.sort(d, axis=1)[:, :k]
+            np.savez(
+                os.path.join(labeled_dir, subset, f"seq{s:02d}.npz"),
+                pose=noisy.astype(np.float32),
+                dist=nn.astype(np.float32),
+            )
+    return labeled_dir, amass_dir

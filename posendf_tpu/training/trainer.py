@@ -1,0 +1,177 @@
+"""Trainer: jitted, mesh-sharded training for the pose distance field.
+
+Capability parity with the reference trainer
+(``model/train_posendf.py:15-176``): Adam with the reference's
+L2-regularized semantics (lr = ``optimizer_param``, weight_decay = 1e-4
+added to the gradient before the moment updates — torch Adam behavior, not
+decoupled AdamW), total loss = w_dist * L1 + w_man * mean|d_manifold| +
+w_eik * eikonal, per-epoch rolling checkpoints, hyperparameter-encoding
+experiment directory with the config copied in, metrics logging, resume.
+
+TPU-native design: the entire optimization step — forward on both branches,
+eikonal grad-through-grad, Adam update — is ONE jitted SPMD program over a
+``data`` mesh axis: inputs arrive batch-sharded, params are replicated, and
+XLA inserts the single gradient all-reduce over ICI. Zero per-step Python.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from posendf_tpu.config import PoseNDFConfig, save_config
+from posendf_tpu.losses import training_loss
+from posendf_tpu.training.checkpoints import CheckpointStore
+from posendf_tpu.training.metrics import MetricsLogger, RunningAverage
+
+__all__ = ["Trainer", "make_optimizer", "make_train_step"]
+
+
+def make_optimizer(lr: float, weight_decay: float = 1e-4) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) semantics: wd * p is added to the
+    gradient BEFORE the Adam moment updates (coupled L2, not AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def make_train_step(module, optimizer, *, loss_type: str, weights: Dict[str, float]):
+    """Build the pure train-step function (params, opt_state, batch) ->
+    (params, opt_state, metrics). Jit/shard it at the call site."""
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            return training_loss(
+                module, p,
+                batch["pose"], batch["dist"], batch["man_poses"],
+                loss_type=loss_type,
+                weight_dist=weights["dist"],
+                weight_man=weights["man_loss"],
+                weight_eikonal=weights["eikonal"],
+            )
+
+        (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(terms, total=total)
+        return params, opt_state, metrics
+
+    return step
+
+
+class Trainer:
+    """End-to-end training driver.
+
+    Usage:
+        trainer = Trainer(cfg, mesh=mesh)
+        trainer.fit(batcher, epochs=...)
+    """
+
+    def __init__(
+        self,
+        cfg: PoseNDFConfig,
+        mesh: Optional[Mesh] = None,
+        config_path: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.module = cfg.make_model()
+        self.optimizer = make_optimizer(cfg.train.optimizer_param, cfg.train.weight_decay)
+
+        # experiment dir layout mirrors the reference: root/exp_name/checkpoints
+        self.exp_dir = os.path.join(cfg.experiment.root_dir, cfg.exp_name())
+        os.makedirs(self.exp_dir, exist_ok=True)
+        if config_path and os.path.exists(config_path):
+            shutil.copyfile(config_path, os.path.join(self.exp_dir, os.path.basename(config_path)))
+        else:
+            save_config(cfg, os.path.join(self.exp_dir, "config.yaml"))
+        self.store = CheckpointStore(os.path.join(self.exp_dir, "checkpoints"))
+        self.metrics = MetricsLogger(self.exp_dir)
+
+        self.mesh = mesh
+        key = jax.random.key(0)
+        self.params = self.module.init(key, jnp.zeros((1, 21, 4)))["params"]
+        self.opt_state = self.optimizer.init(self.params)
+        self.epoch = 0
+
+        if cfg.train.continue_train:
+            restored = self.store.restore({"params": self.params, "opt_state": self.opt_state})
+            if restored is not None:
+                state, epoch = restored
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                self.epoch = epoch + 1
+
+        step = make_train_step(
+            self.module, self.optimizer,
+            loss_type=cfg.train.loss_type,
+            weights={"dist": cfg.train.dist, "man_loss": cfg.train.man_loss,
+                     "eikonal": cfg.train.eikonal},
+        )
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            batch_shardings = {"pose": data, "dist": data, "man_poses": data}
+            self._step = jax.jit(
+                step,
+                in_shardings=(repl, repl, batch_shardings),
+                out_shardings=(repl, repl, repl),
+            )
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.batch_sharding = data
+        else:
+            self._step = jax.jit(step)
+            self.batch_sharding = None
+
+    def train_step(self, batch) -> Dict[str, float]:
+        self.params, self.opt_state, metrics = self._step(self.params, self.opt_state, batch)
+        return metrics
+
+    def train_epoch(self, batches: Iterator[Dict[str, Any]]) -> Dict[str, float]:
+        """One epoch; returns averaged metrics (+ throughput)."""
+        avg = {k: RunningAverage() for k in ("total", "dist", "man_loss", "eikonal")}
+        n_poses = 0
+        t0 = time.time()
+        last = {}
+        for batch in batches:
+            n_poses += batch["pose"].shape[0]
+            last = self.train_step(batch)
+            for k, meter in avg.items():
+                meter.update(float(last[k]))
+        dt = max(time.time() - t0, 1e-9)
+        out = {k: m.avg for k, m in avg.items()}
+        out["poses_per_sec"] = n_poses / dt
+        out["epoch_time_s"] = dt
+        self.metrics.log(self.epoch, out)
+        return out
+
+    def save(self):
+        state = {"params": jax.device_get(self.params),
+                 "opt_state": jax.device_get(self.opt_state)}
+        self.store.save(state, self.epoch)
+
+    def fit(self, batcher, epochs: int, log_every: int = 1, save_every: int = 1):
+        from posendf_tpu.data.pipeline import prefetch_to_device
+
+        for _ in range(epochs):
+            stream = prefetch_to_device(batcher.epoch(self.epoch), self.batch_sharding)
+            stats = self.train_epoch(stream)
+            if self.epoch % log_every == 0:
+                print(
+                    f"epoch {self.epoch}: total={stats['total']:.6f} dist={stats['dist']:.6f} "
+                    f"man={stats['man_loss']:.6f} eik={stats['eikonal']:.6f} "
+                    f"({stats['poses_per_sec']:.0f} poses/s)"
+                )
+            if self.epoch % save_every == 0:
+                self.save()
+            self.epoch += 1
+        return self
