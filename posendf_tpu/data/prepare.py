@@ -1,0 +1,294 @@
+"""Data manufacturing: AMASS sampling + noisy-pose generation + kNN labeling.
+
+Capability parity with the reference's three-stage pipeline:
+
+  stage 1 — ``data/sample_poses.py``: walk raw AMASS ``<subset>/<seq>/*.npz``
+    mocap clips, skip shape/template files, keep a random ~24% of the middle
+    80% of each clip (avoids T-poses at clip boundaries), write per-sequence
+    ``pose_body`` (N, 63+) axis-angle + ``root_orient`` + ``betas``.
+  stage 2 — ``data/prepare_data.py``: the reference generates a 409-line bash
+    script (optionally a Slurm array job) running one GPU process per
+    sequence. Here that fan-out is GONE: stage 3 is a single sharded program.
+  stage 3 — ``data/prepare_traindata.py`` + ``data/dist_utils.py``: for each
+    sequence, draw noisy quaternion queries (sigma grid
+    [0.01, 0.05, 0.1, 0.25, 0.5], uniform noise, per-joint renormalize,
+    ``data/create_data.py:51-52,83-96``), search candidates (faiss k=500),
+    re-rank by the exact quaternion geodesic to k=5, save
+    ``{pose, dist, nn_pose}``.
+
+TPU-native design: the kNN search + geodesic re-rank is one jitted program
+(``posendf_tpu.ops.knn``) over the whole query batch, sharded over a ``data``
+mesh axis; the quaternion corpus is replicated (100M floats fits HBM). The
+reference's two-stage faiss-then-rerank structure is kept as an option
+(``metric='geo_rerank'``), but the default is the EXACT single-stage geodesic
+top-k — affordable on the MXU, and it removes the candidate-set approximation
+entirely.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from posendf_tpu.data.splits import AMASS_SPLITS
+
+__all__ = [
+    "sample_amass", "build_corpus", "NoiseSpec", "sample_noisy_queries",
+    "label_sequence", "label_split", "run_cli",
+]
+
+
+# --------------------------------------------------------------------------
+# stage 1: raw AMASS -> per-sequence sampled pose files (host-side, IO bound)
+# --------------------------------------------------------------------------
+
+def sample_amass(
+    raw_dir: str,
+    out_dir: str,
+    subsets: Sequence[str],
+    keep_frac: float = 0.3,
+    middle_frac: float = 0.8,
+    seed: int = 0,
+    skip_if_exists: bool = True,
+) -> List[str]:
+    """Subsample raw AMASS mocap clips into per-sequence pose files.
+
+    Keeps ``keep_frac`` of the middle ``middle_frac`` of each clip (the
+    reference's 0.3 * 0.8 heuristic, ``data/sample_poses.py:42-44``), writing
+    ``pose_body`` (N, 63) (SMPL body joints 1..21), ``root_orient`` (N, 3)
+    and ``betas``. Idempotent: skips existing outputs (the reference's
+    restart guard, ``sample_poses.py:31-33``).
+    """
+    rng = np.random.default_rng(seed)
+    written = []
+    for subset in subsets:
+        sub_dir = os.path.join(raw_dir, subset)
+        if not os.path.isdir(sub_dir):
+            continue
+        for seq_dir in sorted(os.listdir(sub_dir)):
+            seq_path = os.path.join(sub_dir, seq_dir)
+            if not os.path.isdir(seq_path):
+                continue
+            for npz in sorted(glob.glob(os.path.join(seq_path, "*.npz"))):
+                base = os.path.basename(npz)
+                if "shape" in base or "stagei" in base or base.startswith("neutral"):
+                    continue
+                out_sub = os.path.join(out_dir, subset)
+                os.makedirs(out_sub, exist_ok=True)
+                out_path = os.path.join(out_sub, f"{seq_dir}_{base}")
+                if skip_if_exists and os.path.exists(out_path):
+                    written.append(out_path)
+                    continue
+                try:
+                    with np.load(npz) as z:
+                        if "poses" in z:
+                            poses = np.asarray(z["poses"])      # (T, 156/72...)
+                            pose_body = poses[:, 3:66]          # 21 body joints
+                            root_orient = poses[:, :3]
+                        elif "pose_body" in z:
+                            pose_body = np.asarray(z["pose_body"])[:, :63]
+                            root_orient = np.asarray(z.get("root_orient",
+                                                           np.zeros((len(pose_body), 3))))
+                        else:
+                            continue
+                        betas = np.asarray(z.get("betas", np.zeros(10)))
+                except (OSError, ValueError, KeyError):
+                    continue
+                T = len(pose_body)
+                if T < 10:
+                    continue
+                lo = int(T * (1 - middle_frac) / 2)
+                hi = T - lo
+                n_keep = max(1, int(keep_frac * (hi - lo)))
+                idx = np.sort(rng.choice(np.arange(lo, hi), size=min(n_keep, hi - lo),
+                                         replace=False))
+                np.savez(
+                    out_path,
+                    pose_body=pose_body[idx].astype(np.float32),
+                    root_orient=root_orient[idx].astype(np.float32),
+                    betas=betas.astype(np.float32),
+                )
+                written.append(out_path)
+    return written
+
+
+# --------------------------------------------------------------------------
+# corpus assembly + noisy query sampling
+# --------------------------------------------------------------------------
+
+def _to_quats(pose_body: np.ndarray) -> np.ndarray:
+    """(N, 63) axis-angle -> (N, 21, 4) unit quaternions (host numpy math,
+    same conventions as posendf_tpu.quat)."""
+    aa = pose_body.reshape(-1, 21, 3).astype(np.float64)
+    angle = np.linalg.norm(aa, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    small = angle < 1e-6
+    safe = np.where(small, 1.0, angle)
+    s = np.where(small, 0.5 - angle * angle / 48.0, np.sin(half) / safe)
+    return np.concatenate([np.cos(half), aa * s], axis=-1).astype(np.float32)
+
+
+def build_corpus(sampled_dir: str, subsets: Sequence[str]) -> Tuple[np.ndarray, List[str]]:
+    """Concatenate every sampled sequence of the given subsets into one
+    (N, 21, 4) quaternion corpus. Returns (corpus, file list)."""
+    files = [
+        f for f in sorted(glob.glob(os.path.join(sampled_dir, "*", "*.npz")))
+        if os.path.basename(os.path.dirname(f)) in subsets
+    ]
+    chunks = []
+    for f in files:
+        with np.load(f) as z:
+            key = "pose_body" if "pose_body" in z else "pose"
+            arr = np.asarray(z[key])
+        if arr.ndim == 3 and arr.shape[-1] == 4:
+            chunks.append(arr.astype(np.float32))
+        else:
+            chunks.append(_to_quats(arr[:, :63]))
+    if not chunks:
+        raise FileNotFoundError(f"no sampled sequences under {sampled_dir} for {subsets}")
+    return np.concatenate(chunks), files
+
+
+@dataclass
+class NoiseSpec:
+    """Sigma grid of the reference noisy-query sampler
+    (``data/create_data.py:51-52``)."""
+
+    sigmas: Tuple[float, ...] = (0.01, 0.05, 0.1, 0.25, 0.5)
+    distribution: Tuple[float, ...] = (0.2, 0.2, 0.2, 0.2, 0.2)
+
+    def counts(self, num_samples: int) -> np.ndarray:
+        return np.rint(num_samples * np.asarray(self.distribution)).astype(np.int64)
+
+
+def sample_noisy_queries(
+    clean_quats: np.ndarray,
+    num_samples: int,
+    spec: NoiseSpec = NoiseSpec(),
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Draw noisy queries: pick clean poses, add sigma * U[0,1) elementwise,
+    renormalize each joint quaternion (reference semantics:
+    ``create_data.py:85-91``). Returns (sum(counts), 21, 4) float32."""
+    rng = rng or np.random.default_rng(0)
+    out = []
+    for sigma, n in zip(spec.sigmas, spec.counts(num_samples)):
+        if n == 0:
+            continue
+        idx = rng.integers(0, len(clean_quats), n)
+        noisy = clean_quats[idx] + sigma * rng.random((n, 21, 4), dtype=np.float32)
+        noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
+        out.append(noisy.astype(np.float32))
+    return np.concatenate(out)
+
+
+# --------------------------------------------------------------------------
+# stage 3: device-side labeling
+# --------------------------------------------------------------------------
+
+def label_sequence(
+    seq_quats: np.ndarray,     # clean poses of the sequence (for query sampling)
+    corpus: "object",          # (N, 21, 4) jax array (possibly device-put once)
+    *,
+    num_queries: int,
+    k: int = 5,
+    k_candidates: int = 0,
+    metric: str = "geo",
+    query_batch: int = 4096,
+    rng: Optional[np.random.Generator] = None,
+    spec: NoiseSpec = NoiseSpec(),
+) -> dict:
+    """Label one sequence: noisy queries + their k nearest geodesic distances
+    against the corpus. ``k_candidates > 0`` selects the reference-shaped
+    two-stage search (L2 candidates -> geodesic re-rank); 0 = exact
+    single-stage geodesic top-k."""
+    import jax.numpy as jnp
+
+    from posendf_tpu.ops import geodesic_rerank, geodesic_topk, l2_topk
+
+    queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
+    corpus = jnp.asarray(corpus)
+    N = corpus.shape[0]
+
+    dists, idxs = [], []
+    for start in range(0, len(queries), query_batch):
+        q = jnp.asarray(queries[start:start + query_batch])
+        if k_candidates and k_candidates < N:
+            _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1),
+                              k=k_candidates)
+            d, i = geodesic_rerank(q, corpus, cand, k=k)
+        else:
+            d, i = geodesic_topk(q, corpus, k=k)
+        dists.append(np.asarray(d))
+        idxs.append(np.asarray(i))
+    dist = np.concatenate(dists)
+    idx = np.concatenate(idxs)
+    nn_pose = np.asarray(corpus)[idx]  # (Q, k, 21, 4)
+    return {"pose": queries, "dist": dist, "nn_pose": nn_pose}
+
+
+def label_split(
+    sampled_dir: str,
+    out_dir: str,
+    subsets: Sequence[str],
+    *,
+    num_queries: int = 100,
+    runs: int = 1000,
+    k: int = 5,
+    k_candidates: int = 0,
+    seed: int = 0,
+    skip_if_exists: bool = True,
+) -> List[str]:
+    """Label every sequence of a split against the split-wide corpus.
+
+    ``runs * num_queries`` queries per sequence (the reference's
+    1000-run x num_samples loop, ``prepare_traindata.py:45,104``), one
+    sharded device program per batch instead of one Slurm job per sequence.
+    Idempotent per sequence (skip-if-exists restart guard).
+    """
+    import jax.numpy as jnp
+
+    corpus, files = build_corpus(sampled_dir, subsets)
+    corpus_dev = jnp.asarray(corpus)
+    rng = np.random.default_rng(seed)
+    written = []
+    for f in files:
+        subset = os.path.basename(os.path.dirname(f))
+        os.makedirs(os.path.join(out_dir, subset), exist_ok=True)
+        out_path = os.path.join(out_dir, subset, os.path.basename(f))
+        if skip_if_exists and os.path.exists(out_path):
+            written.append(out_path)
+            continue
+        with np.load(f) as z:
+            key = "pose_body" if "pose_body" in z else "pose"
+            arr = np.asarray(z[key])
+        seq_quats = arr.astype(np.float32) if arr.ndim == 3 else _to_quats(arr[:, :63])
+        labeled = label_sequence(
+            seq_quats, corpus_dev,
+            num_queries=num_queries * runs, k=k, k_candidates=k_candidates,
+            rng=rng,
+        )
+        np.savez(out_path, **labeled)
+        written.append(out_path)
+    return written
+
+
+def run_cli(args) -> None:
+    subsets = AMASS_SPLITS.get(args.split, [args.split])
+    sampled_dir = os.path.join(args.out_dir, "sampled")
+    labeled_dir = os.path.join(args.out_dir, "labeled")
+    if args.stage in ("sample", "all"):
+        out = sample_amass(args.amass_raw, sampled_dir, subsets)
+        print(f"stage 1: sampled {len(out)} sequences -> {sampled_dir}")
+    if args.stage in ("label", "all"):
+        src = sampled_dir if os.path.isdir(sampled_dir) else args.amass_raw
+        out = label_split(
+            src, labeled_dir, subsets,
+            num_queries=args.num_samples, runs=args.runs,
+            k=args.k, k_candidates=args.k_candidates if args.k_candidates else 0,
+        )
+        print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")

@@ -1,0 +1,150 @@
+"""Exact brute-force kNN on TPU: the faiss replacement.
+
+Capability parity with the reference's faiss usage
+(``data/prepare_traindata.py:50-58,86-93``): exact L2 top-k over a dense
+corpus (75-D SMPL joints or 84-D quaternion poses; Flat indexes, so exact
+search — no approximation to reproduce), followed by an exact quaternion-
+geodesic re-rank to the final k (``data/dist_utils.py:42-50``).
+
+TPU-native design: the distance matrix IS a matmul —
+``||q - c||^2 = ||q||^2 + ||c||^2 - 2 q @ c.T`` — so the search streams
+corpus tiles through one MXU matmul each, merging a running top-k with
+``lax.top_k`` inside a ``lax.scan`` (O(Q * k) state, never materializing the
+full (Q, N) matrix). Multi-chip: shard queries over the ``data`` mesh axis
+with the corpus replicated — each chip scans the whole corpus locally, no
+collectives needed (corpus ~100M floats fits HBM; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["l2_topk", "geodesic_topk", "geodesic_rerank"]
+
+
+def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> jax.Array:
+    n = x.shape[0]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "corpus_tile"))
+def l2_topk(
+    queries: jax.Array,   # (Q, D)
+    corpus: jax.Array,    # (N, D)
+    k: int,
+    corpus_tile: int = 32768,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact k smallest squared-L2 distances. Returns (dists (Q, k),
+    indices (Q, k)), ascending. Matches faiss IndexFlatL2 semantics
+    (squared distances)."""
+    Q, D = queries.shape
+    N = corpus.shape[0]
+    corpus_tile = max(corpus_tile, k, 128)  # at least k (merge width) + one lane tile
+    # padding is masked out by index validity below
+    padded = _pad_to_multiple(corpus, corpus_tile, 0.0)
+    n_tiles = padded.shape[0] // corpus_tile
+    tiles = padded.reshape(n_tiles, corpus_tile, D)
+
+    q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)  # (Q, 1)
+    big = jnp.asarray(jnp.finfo(queries.dtype).max, queries.dtype)
+
+    def body(carry, inp):
+        best_d, best_i = carry              # (Q, k) each
+        tile, t_idx = inp                   # (T, D), scalar tile index
+        c_sq = jnp.sum(tile * tile, axis=-1)[None, :]  # (1, T)
+        cross = jnp.dot(queries, tile.T, preferred_element_type=jnp.float32)
+        d = q_sq + c_sq - 2.0 * cross       # (Q, T)
+        base = t_idx * corpus_tile
+        col = base + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        d = jnp.where(col < N, d, big)      # mask padding
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        new_i = jnp.take_along_axis(cat_i, arg, axis=1)
+        return (-neg_top, new_i), None
+
+    init = (
+        jnp.full((Q, k), big, queries.dtype),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    (dists, idx), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    # lax.top_k returns descending on -d => ascending d already
+    return dists, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def geodesic_rerank(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    cand_idx: jax.Array,      # (Q, C) candidate indices into corpus
+    k: int,
+    weights: jax.Array | None = None,  # optional (J,) joint weights
+) -> Tuple[jax.Array, jax.Array]:
+    """Re-rank candidates by the double-cover-invariant geodesic surrogate
+    mean_j (1 - |<q_j, c_j>|) (or the joint-weighted sum variant), returning
+    the k smallest (dists (Q, k), corpus indices (Q, k))."""
+    cand = corpus_quats[cand_idx]                      # (Q, C, J, 4)
+    dots = jnp.sum(query_quats[:, None] * cand, axis=-1)  # (Q, C, J)
+    per_joint = 1.0 - jnp.abs(dots)
+    if weights is not None:
+        geo = jnp.sum(weights[None, None, :] * per_joint, axis=-1)
+    else:
+        geo = jnp.mean(per_joint, axis=-1)             # (Q, C)
+    neg_top, arg = jax.lax.top_k(-geo, k)
+    return -neg_top, jnp.take_along_axis(cand_idx, arg, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "corpus_tile"))
+def geodesic_topk(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    k: int,
+    corpus_tile: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact geodesic top-k over the WHOLE corpus — no candidate pre-filter.
+
+    The geodesic surrogate needs |<q_j, c_j>| per joint, which is NOT a
+    single inner product, but it is J=21 small matmuls: dots[q, n, j] =
+    sum_d Q[q, j, d] C[n, j, d] — an einsum the MXU eats tile by tile. On
+    TPU this makes the reference's two-stage faiss-then-rerank pipeline
+    optional: the exact search over 10^6 poses is a few hundred GFLOPs.
+    """
+    Q, J, _ = query_quats.shape
+    N = corpus_quats.shape[0]
+    corpus_tile = max(corpus_tile, k, 128)
+    padded = _pad_to_multiple(corpus_quats, corpus_tile, 0.0)
+    n_tiles = padded.shape[0] // corpus_tile
+    tiles = padded.reshape(n_tiles, corpus_tile, J, 4)
+    big = jnp.asarray(jnp.finfo(query_quats.dtype).max, query_quats.dtype)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile, t_idx = inp                               # (T, J, 4)
+        dots = jnp.einsum("qjd,njd->qnj", query_quats, tile,
+                          preferred_element_type=jnp.float32)
+        geo = jnp.mean(1.0 - jnp.abs(dots), axis=-1)    # (Q, T)
+        base = t_idx * corpus_tile
+        col = base + jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
+        geo = jnp.where(col < N, geo, big)
+        cat_d = jnp.concatenate([best_d, geo], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+    init = (
+        jnp.full((Q, k), big, query_quats.dtype),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    (dists, idx), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    return dists, idx

@@ -1,0 +1,132 @@
+"""Data-manufacturing pipeline tests: AMASS sampling, noisy-query generation,
+device-side kNN labeling (end-to-end against a NumPy oracle)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from posendf_tpu.data.prepare import (
+    NoiseSpec,
+    _to_quats,
+    build_corpus,
+    label_sequence,
+    label_split,
+    sample_amass,
+    sample_noisy_queries,
+)
+from posendf_tpu.data.synthetic import synthetic_manifold_poses
+
+
+@pytest.fixture(scope="module")
+def raw_amass(tmp_path_factory):
+    """Fabricate a raw-AMASS-shaped directory: <subset>/<seq>/clip.npz with
+    'poses' (T, 156) axis-angle."""
+    root = tmp_path_factory.mktemp("raw_amass")
+    rng = np.random.default_rng(0)
+    for subset in ("ACCAD", "CMU"):
+        for seq in ("s1", "s2"):
+            d = root / subset / seq
+            d.mkdir(parents=True)
+            T = 120
+            poses = rng.normal(scale=0.3, size=(T, 156)).astype(np.float32)
+            np.savez(d / "clip_poses.npz", poses=poses,
+                     betas=rng.normal(size=16).astype(np.float32))
+            # a shape file that must be skipped
+            np.savez(d / "shape.npz", poses=np.zeros((5, 156), np.float32))
+    return str(root)
+
+
+def test_sample_amass_stage1(raw_amass, tmp_path):
+    out = sample_amass(raw_amass, str(tmp_path / "sampled"), ["ACCAD", "CMU"], seed=0)
+    assert len(out) == 4  # 2 subsets x 2 seqs; shape.npz skipped
+    with np.load(out[0]) as z:
+        pb = z["pose_body"]
+        assert pb.shape[1] == 63
+        # 0.3 of the middle 0.8 of 120 frames = ~28
+        assert 20 <= len(pb) <= 35
+        assert "root_orient" in z and "betas" in z
+    # idempotence: second run reuses files
+    out2 = sample_amass(raw_amass, str(tmp_path / "sampled"), ["ACCAD", "CMU"], seed=1)
+    assert sorted(out) == sorted(out2)
+
+
+def test_to_quats_matches_quat_module(rng):
+    import jax.numpy as jnp
+
+    from posendf_tpu.quat import axis_angle_to_quaternion
+
+    aa = rng.normal(scale=0.5, size=(17, 63)).astype(np.float32)
+    ours = _to_quats(aa)
+    ref = np.asarray(axis_angle_to_quaternion(jnp.asarray(aa.reshape(17, 21, 3))))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_noisy_queries_normalized(rng):
+    clean = synthetic_manifold_poses(rng, 64)
+    q = sample_noisy_queries(clean, 100, NoiseSpec(), rng)
+    assert q.shape == (100, 21, 4)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
+def test_label_sequence_against_oracle(rng):
+    clean = synthetic_manifold_poses(rng, 128)
+    corpus = synthetic_manifold_poses(rng, 256)
+    labeled = label_sequence(clean, corpus, num_queries=50, k=5,
+                             rng=np.random.default_rng(0))
+    assert labeled["pose"].shape == (50, 21, 4)
+    assert labeled["dist"].shape == (50, 5)
+    assert labeled["nn_pose"].shape == (50, 5, 21, 4)
+    # oracle check on the first few queries
+    q = labeled["pose"][:8]
+    dots = (q[:, None] * corpus[None]).sum(-1)
+    geo = (1 - np.abs(dots)).mean(-1)
+    ref = np.sort(geo, axis=1)[:, :5]
+    np.testing.assert_allclose(labeled["dist"][:8], ref, atol=1e-5)
+    # distances ascending
+    assert (np.diff(labeled["dist"], axis=1) >= -1e-6).all()
+
+
+def test_label_sequence_two_stage_matches_exact(rng):
+    clean = synthetic_manifold_poses(rng, 64)
+    corpus = synthetic_manifold_poses(rng, 200)
+    r = np.random.default_rng(3)
+    exact = label_sequence(clean, corpus, num_queries=30, k=5,
+                           rng=np.random.default_rng(3))
+    twostage = label_sequence(clean, corpus, num_queries=30, k=5,
+                              k_candidates=200, rng=np.random.default_rng(3))
+    np.testing.assert_allclose(exact["dist"], twostage["dist"], atol=1e-5)
+
+
+def test_label_split_end_to_end(raw_amass, tmp_path):
+    sampled = str(tmp_path / "sampled")
+    labeled = str(tmp_path / "labeled")
+    sample_amass(raw_amass, sampled, ["ACCAD", "CMU"], seed=0)
+    out = label_split(sampled, labeled, ["ACCAD", "CMU"],
+                      num_queries=10, runs=2, k=5)
+    assert len(out) == 4
+    with np.load(out[0]) as z:
+        assert z["pose"].shape == (20, 21, 4)
+        assert z["dist"].shape == (20, 5)
+    # restart guard
+    out2 = label_split(sampled, labeled, ["ACCAD", "CMU"], num_queries=10, runs=2)
+    assert sorted(out) == sorted(out2)
+
+
+def test_labeled_output_feeds_training_batcher(raw_amass, tmp_path):
+    """The manufactured data must be directly consumable by the trainer."""
+    from posendf_tpu.data.pipeline import TrainingBatcher
+
+    sampled = str(tmp_path / "sampled")
+    labeled = str(tmp_path / "labeled")
+    sample_amass(raw_amass, sampled, ["ACCAD", "CMU"], seed=0)
+    label_split(sampled, labeled, ["ACCAD", "CMU"], num_queries=10, runs=2)
+    # manifold files: the sampled dir stores axis-angle; build quat files
+    corpus, files = build_corpus(sampled, ["ACCAD", "CMU"])
+    man_dir = tmp_path / "man" / "ACCAD"
+    man_dir.mkdir(parents=True)
+    np.savez(man_dir / "all.npz", pose=corpus)
+    b = TrainingBatcher(labeled, str(tmp_path / "man"), batch_size=2, num_pts=16)
+    batch = b.sample_batch()
+    assert batch["pose"].shape == (32, 21, 4)
+    assert (batch["dist"] >= 0).all()
