@@ -1,0 +1,89 @@
+"""Shared on-device optimization engine for the experiments.
+
+The reference experiments all share one pattern (``motion_denoise.py:58-121``,
+``partial_observation.py``, ``image_fitting.py:183-213``): Adam(0.02) over
+SMPL pose parameters, ``iterations`` outer x ``steps_per_iter`` inner Python
+loops, with *annealed self-weighted* losses — each term enters the total as
+``f_k(loss_k, it)`` where f multiplies the loss value by schedule factors and
+sometimes by itself (e.g. pose prior ``1e7 * loss^2 / (1 + it)``,
+``motion_denoise.py:31-34``).
+
+TPU-native design: the WHOLE optimization (all iterations x steps) is one
+jitted ``lax.scan``; the annealing index ``it = step // steps_per_iter`` is
+computed in-graph, term gating (``data`` active only for it > 0) is a
+``jnp.where`` — zero per-step Python, one dispatch per solve.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["AnnealSpec", "run_annealed_adam"]
+
+
+class AnnealSpec(NamedTuple):
+    """Annealed weighting f(loss, it) = scale * loss^power * (1+it)^anneal,
+    gated off before ``active_after`` iterations."""
+
+    scale: float
+    power: int = 1          # 1: linear in the loss; 2: squared (self-weighted)
+    anneal: float = 0.0     # exponent on (1 + it): +1 grows, -1 decays
+    active_after: int = -1  # term active when it > active_after
+
+
+def _weighted(loss: jax.Array, it: jax.Array, spec: AnnealSpec) -> jax.Array:
+    w = spec.scale * (loss ** spec.power) * (1.0 + it) ** spec.anneal
+    return jnp.where(it > spec.active_after, w, 0.0)
+
+
+def run_annealed_adam(
+    loss_terms_fn: Callable[[jax.Array], Dict[str, jax.Array]],
+    init_params: jax.Array,
+    specs: Dict[str, AnnealSpec],
+    *,
+    iterations: int = 10,
+    steps_per_iter: int = 50,
+    lr: float = 0.02,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Run the full annealed optimization on device.
+
+    Args:
+      loss_terms_fn: params -> {term_name: scalar loss} (pure, jittable).
+      init_params: the optimized array (e.g. (B, 69) pose).
+      specs: per-term annealing spec; keys must match loss_terms_fn output.
+
+    Returns:
+      (final params, history dict of (total_steps,) arrays per term + total).
+    """
+    optimizer = optax.adam(lr, b1=0.9, b2=0.999)
+    total_steps = iterations * steps_per_iter
+
+    def total_loss(params, it):
+        terms = loss_terms_fn(params)
+        tot = sum(_weighted(terms[k], it, specs[k]) for k in specs)
+        return tot, terms
+
+    @jax.jit
+    def solve(params):
+        opt_state = optimizer.init(params)
+
+        def step(carry, step_idx):
+            params, opt_state = carry
+            it = (step_idx // steps_per_iter).astype(jnp.float32)
+            (tot, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                params, it)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            history = dict(terms, total=tot)
+            return (params, opt_state), history
+
+        (params, _), history = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(total_steps))
+        return params, history
+
+    return solve(init_params)

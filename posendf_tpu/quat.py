@@ -55,17 +55,18 @@ def axis_angle_to_quaternion(aa: jax.Array) -> jax.Array:
     (pytorch3d uses the expansion 0.5 - t^2/48 for |t| < 1e-6).
     """
     aa = jnp.asarray(aa)
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    # Gradient-safe small-angle handling (the "double-where" pattern): the
+    # norm's gradient at 0 is NaN, and a plain where() still backpropagates
+    # NaN through the untaken branch — so the sqrt argument itself is guarded
+    # and the small branch is polynomial in |aa|^2 (smooth at 0). This keeps
+    # optimizers that start at the zero pose (e.g. SMPLify stage 2) finite.
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    small = sq < 1e-12  # angle < 1e-6
+    safe_sq = jnp.where(small, jnp.ones_like(sq), sq)
+    angle = jnp.sqrt(safe_sq)
     half = 0.5 * angle
-    small = angle < 1e-6
-    # sin(t/2)/t ; guard the division for the small branch.
-    safe_angle = jnp.where(small, jnp.ones_like(angle), angle)
-    sin_half_over_angle = jnp.where(
-        small,
-        0.5 - (angle * angle) / 48.0,
-        jnp.sin(half) / safe_angle,
-    )
-    w = jnp.cos(half)
+    sin_half_over_angle = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
     xyz = aa * sin_half_over_angle
     return jnp.concatenate([w, xyz], axis=-1)
 
@@ -80,15 +81,20 @@ def quaternion_to_axis_angle(q: jax.Array) -> jax.Array:
     q = jnp.asarray(q)
     w = q[..., :1]
     xyz = q[..., 1:]
-    norms = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    # gradient-safe at xyz == 0 (see axis_angle_to_quaternion): for tiny
+    # |xyz| with w > 0, angle ~= 2|xyz|/w, so the Taylor branch uses
+    # angle^2 ~= 4 sq / w^2 without differentiating a sqrt at 0.
+    sq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = (sq < 1e-12) & (w > 0)
+    safe_sq = jnp.where(small, jnp.ones_like(sq), sq)
+    norms = jnp.sqrt(safe_sq)
     half_angle = jnp.arctan2(norms, w)
     angle = 2.0 * half_angle
-    small = jnp.abs(angle) < 1e-6
-    safe_angle = jnp.where(small, jnp.ones_like(angle), angle)
+    angle_sq_small = 4.0 * sq / jnp.maximum(w * w, 1e-12)
     sin_half_over_angle = jnp.where(
         small,
-        0.5 - (angle * angle) / 48.0,
-        jnp.sin(half_angle) / safe_angle,
+        0.5 - angle_sq_small / 48.0,
+        jnp.sin(half_angle) / jnp.where(small, jnp.ones_like(angle), angle),
     )
     return xyz / sin_half_over_angle
 
@@ -183,10 +189,11 @@ def quat_normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
 
     Matches torch.nn.functional.normalize(q, dim=-1): divides by
     max(|q|, eps), so the zero quaternion maps to zero instead of NaN.
+    Gradient-safe at q == 0 (sqrt is taken of the clamped square).
     """
     q = jnp.asarray(q)
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(n, eps)
+    n = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), eps * eps))
+    return q / n
 
 
 def joint_axis_normalize(pose: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -199,8 +206,8 @@ def joint_axis_normalize(pose: jax.Array, eps: float = 1e-12) -> jax.Array:
     this an ~1/sqrt(21) per-column rescale).
     """
     pose = jnp.asarray(pose)
-    n = jnp.linalg.norm(pose, axis=1, keepdims=True)
-    return pose / jnp.maximum(n, eps)
+    n = jnp.sqrt(jnp.maximum(jnp.sum(pose * pose, axis=1, keepdims=True), eps * eps))
+    return pose / n
 
 
 def quat_conjugate(q: jax.Array) -> jax.Array:
@@ -256,11 +263,13 @@ def quat_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
     q1 = jnp.asarray(q1)
     dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
     q1 = jnp.where(dot < 0, -q1, q1)
-    dot = jnp.clip(jnp.abs(dot), -1.0, 1.0)
-    theta = jnp.arccos(dot)
-    sin_theta = jnp.sin(theta)
-    parallel = sin_theta < 1e-6
-    safe_sin = jnp.where(parallel, jnp.ones_like(sin_theta), sin_theta)
+    dot = jnp.abs(dot)
+    # gradient-safe: arccos has infinite slope at 1; clamp before arccos and
+    # route near-parallel pairs to the lerp branch
+    parallel = dot > 1.0 - 1e-7
+    safe_dot = jnp.clip(dot, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(safe_dot)
+    safe_sin = jnp.sin(theta)
 
     t = jnp.atleast_1d(jnp.asarray(t, dtype=q0.dtype))
     t = t.reshape((-1,) + (1,) * q0.ndim)  # (T, 1, ..., 1)

@@ -1,0 +1,162 @@
+"""Experiment-layer tests: annealed optimizer engine, motion denoising,
+partial completion, interpolation, camera projection, image fitting, and
+mesh export — hermetic via the synthetic body model and a small trained(ish)
+field."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from posendf_tpu.experiments import (
+    AnnealSpec,
+    ImageFitter,
+    MotionDenoiser,
+    PartialCompleter,
+    init_camera,
+    interpolate,
+    project_points,
+    run_annealed_adam,
+    save_meshes,
+    render_meshes,
+)
+from posendf_tpu.models import PoseNDF
+from posendf_tpu.smpl import BodyModel, synthetic_model
+
+
+@pytest.fixture(scope="module")
+def field():
+    """A small softplus field (positive distances, nonzero gradients)."""
+    module = PoseNDF(dfnet_dims=(64, 64), activation="softplus")
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    return module, params
+
+
+@pytest.fixture(scope="module")
+def body():
+    return BodyModel(model=synthetic_model(num_vertices=80, seed=1))
+
+
+def test_annealed_adam_minimizes_quadratic():
+    target = jnp.asarray([1.0, -2.0, 3.0])
+
+    def terms(x):
+        return {"data": jnp.sum((x - target) ** 2)}
+
+    x, hist = run_annealed_adam(
+        terms, jnp.zeros(3), {"data": AnnealSpec(scale=1.0)},
+        iterations=4, steps_per_iter=100, lr=0.05,
+    )
+    assert float(hist["data"][-1]) < 1e-2
+    np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=0.2)
+
+
+def test_annealed_adam_gating():
+    """Terms with active_after must not influence early iterations."""
+    history = []
+
+    def terms(x):
+        return {"a": jnp.sum(x ** 2), "b": jnp.sum((x - 10.0) ** 2)}
+
+    x, hist = run_annealed_adam(
+        terms, jnp.ones(2),
+        {"a": AnnealSpec(scale=1.0),
+         "b": AnnealSpec(scale=1e6, active_after=5)},  # never active (3 iters)
+        iterations=3, steps_per_iter=50, lr=0.05,
+    )
+    np.testing.assert_allclose(np.asarray(x), 0.0, atol=0.05)
+
+
+def test_motion_denoise_runs_and_improves_prior(field, body):
+    module, params = field
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.normal(scale=0.3, size=(6, 69)).astype(np.float32))
+    denoiser = MotionDenoiser(module, params, body)
+    final_pose, metrics = denoiser.optimize(noisy, iterations=2, steps_per_iter=5)
+    assert final_pose.shape == (6, 69)
+    assert np.isfinite(metrics["v2v_vs_input_cm"])
+    assert np.isfinite(metrics["final_pose_pr"])
+
+
+def test_motion_denoise_v2v_vs_gt(field, body):
+    module, params = field
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.normal(scale=0.2, size=(4, 69)).astype(np.float32))
+    noisy = gt + 0.1 * jnp.asarray(rng.normal(size=(4, 69)).astype(np.float32))
+    denoiser = MotionDenoiser(module, params, body)
+    _, metrics = denoiser.optimize(noisy, gt, iterations=2, steps_per_iter=5)
+    assert "v2v_cm" in metrics and np.isfinite(metrics["v2v_cm"])
+
+
+def test_partial_completer(field, body):
+    module, params = field
+    rng = np.random.default_rng(2)
+    pose = jnp.asarray(rng.normal(scale=0.2, size=(5, 69)).astype(np.float32))
+    completer = PartialCompleter(module, params, body)
+    final_pose, metrics = completer.optimize(pose, iterations=2, steps_per_iter=3)
+    assert final_pose.shape == (5, 69)
+
+
+def test_interpolate_path_properties(field):
+    module, params = field
+    key = jax.random.key(0)
+    ka, kb = jax.random.split(key)
+    a = jax.random.normal(ka, (21, 4))
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b = jax.random.normal(kb, (21, 4))
+    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    path, dist = interpolate(module, params, a, b, num_steps=7, projection_steps=3)
+    assert path.shape == (7, 21, 4)
+    assert dist.shape == (7,)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(path), axis=-1), 1.0, atol=1e-4)
+
+
+def test_camera_projection_geometry():
+    cam = init_camera(1)
+    cam["translation"] = cam["translation"].at[0, 2].set(10.0)
+    pts = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+    img = project_points(cam, pts, focal_length=5000.0)
+    np.testing.assert_allclose(np.asarray(img[0, 0]), [0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img[0, 1]), [500.0, 0.0], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(img[0, 2]), [0.0, 500.0], atol=1e-3)
+    # center offset shifts pixels
+    img_c = project_points(cam, pts, focal_length=5000.0,
+                           center=jnp.asarray([[128.0, 128.0]]))
+    np.testing.assert_allclose(np.asarray(img_c[0, 0]), [128.0, 128.0], atol=1e-4)
+
+
+def test_image_fitter_end_to_end(field, body):
+    """Project a known body through a known camera, fit from zeros: stage 1
+    must drive the torso reprojection error down."""
+    module, params = field
+    rng = np.random.default_rng(3)
+    gt_pose = jnp.asarray(rng.normal(scale=0.15, size=(1, 69)).astype(np.float32))
+    out = body(pose_body=gt_pose)
+    cam = init_camera(1)
+    cam["translation"] = cam["translation"].at[0, 2].set(10.0)
+    from posendf_tpu.experiments.fit_image import SMPL_TO_OPENPOSE
+
+    gather = np.where(SMPL_TO_OPENPOSE >= 0, SMPL_TO_OPENPOSE, 0)
+    kp_xy = np.asarray(project_points(cam, out.Jtr[:, gather, :], 5000.0))[0]
+    conf = (SMPL_TO_OPENPOSE >= 0).astype(np.float32)
+    keypoints = np.concatenate([kp_xy, conf[:, None]], axis=1)  # (25, 3)
+
+    fitter = ImageFitter(module, params, body)
+    result, metrics = fitter.optimize(keypoints, iterations=2, steps_per_iter=10)
+    assert result["pose_body"].shape == (1, 69)
+    assert np.isfinite(metrics["stage2_final_data"])
+    assert metrics["stage1_final_data"] < 1e7  # torso error decreased from init
+
+
+def test_mesh_export_and_render(tmp_path, body):
+    out = body(pose_body=jnp.zeros((2, 69)))
+    paths = save_meshes(str(tmp_path), np.asarray(out.vertices), out.faces, prefix="t")
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    with open(paths[0]) as f:
+        head = f.readline()
+    assert head.startswith("v ")
+    imgs = render_meshes(str(tmp_path), np.asarray(out.vertices[:1]), out.faces,
+                         prefix="t", image_size=64)
+    assert len(imgs) == 1 and os.path.exists(imgs[0])
