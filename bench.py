@@ -24,7 +24,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the remote-compile service in this
+    # environment takes ~1 min per Pallas kernel; warm runs skip it entirely
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from posendf_tpu.config import PoseNDFConfig
@@ -34,6 +46,20 @@ def main():
     cfg = PoseNDFConfig()
     module = cfg.make_model()
     params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+
+    # flagship config: Pallas fused structure encoder (falls back to the
+    # pure-XLA path on backends without Mosaic, e.g. CPU)
+    fused_ok = True
+    try:
+        cfg_fused = PoseNDFConfig()
+        cfg_fused.strenc.fused = True
+        module_fused = cfg_fused.make_model()
+        jax.block_until_ready(
+            module_fused.apply({"params": params},
+                               jnp.ones((256, 21, 4), jnp.float32)))
+    except Exception:
+        fused_ok = False
+    bench_module = module_fused if fused_ok else module
 
     # ---------- forward throughput ----------
     B = 1 << 17  # 131k poses/step keeps the MXU fed
@@ -46,7 +72,7 @@ def main():
     def fwd_loop(params, pose, iters):
         def body(i, acc):
             # acc feedback prevents the loop body from being hoisted/DCE'd
-            d = module.apply({"params": params}, pose + acc * 0)
+            d = bench_module.apply({"params": params}, pose + acc * 0)
             return acc + jnp.sum(d)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -89,6 +115,7 @@ def main():
             "projection_target_s": 1.0,
             "device": str(dev),
             "batch": B,
+            "fused_encoder": fused_ok,
             "per_fwd_iter_ms": round(per_iter * 1e3, 4),
         },
     }))

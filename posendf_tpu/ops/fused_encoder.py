@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: the structure encoder fused into one kernel.
+
+The reference walks 21 tiny per-joint MLPs sequentially in Python
+(``model/network/net_modules.py:159-169``) — 40+ kernel launches per forward
+on GPU. The XLA path in ``models/encoder.py`` already collapses that to 12
+level-batched einsums; this kernel goes further and fuses the ENTIRE chain
+into a single Pallas program:
+
+  * all BoneMLP weights (~3.7k floats) live in VMEM for the whole kernel;
+  * the batch is tiled over the grid; each tile's 21-joint chain runs
+    entirely in VMEM with zero HBM round-trips between joints;
+  * layout is (joint, feature, batch): the 128-wide lane dimension is the
+    batch, per-joint operands are indexed on the leading (cheap) axis, and
+    there is NO in-kernel slicing along tiled dimensions — misaligned
+    sublane extracts are what make naive layouts pathologically slow to
+    compile and run on Mosaic;
+  * weights arrive pre-split (quat part / parent part) and pre-transposed so
+    every step is two small (out_dim, in_dim) @ (in_dim, batch) matmuls.
+
+The joint walk is a ``fori_loop`` over a scalar-prefetched parent table with
+a VMEM feature scratch — ONE compiled loop body instead of 21 unrolled steps
+(unrolling made Mosaic compile times explode on the remote-compile service;
+a loop also keeps the kernel size independent of the tree). Roots read a
+dummy parent feature and mask its contribution with a prefetched 0/1 weight.
+Backward: ``jax.custom_vjp`` whose reverse pass reuses the XLA
+level-scheduled implementation (the chain is cheap relative to DFNet; the
+kernel's win is forward latency in projection/serving loops).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from posendf_tpu.models.activations import make_activation
+
+__all__ = ["fused_structure_encoder"]
+
+
+def _encoder_kernel(parents_ref, pmask_ref, q_ref, w1a_ref, w1b_ref, b1_ref,
+                    w2_ref, b2_ref, out_ref, feats, *, num_joints,
+                    activation, beta):
+    act = make_activation(activation, beta)
+    # roots read slot 0 (masked to zero contribution) before it is written —
+    # it must hold finite values, since 0 * NaN = NaN
+    feats[0] = jnp.zeros(feats.shape[1:], feats.dtype)
+
+    def body(j, _):
+        q = q_ref[j]                               # (4, B) leading-dim index
+        p = jnp.maximum(parents_ref[j], 0)         # dummy 0 for roots
+        fp = feats[p]                              # (F, B) scratch read
+        h = (
+            jnp.dot(w1a_ref[j], q, preferred_element_type=jnp.float32)
+            + pmask_ref[j] * jnp.dot(w1b_ref[j], fp,
+                                     preferred_element_type=jnp.float32)
+        )
+        h = act(h + b1_ref[j][:, None])            # (10, B)
+        f = jnp.dot(w2_ref[j], h, preferred_element_type=jnp.float32)
+        f = act(f + b2_ref[j][:, None])            # (F, B)
+        feats[j] = f                               # scratch write at j
+        out_ref[j] = f
+        return 0
+
+    jax.lax.fori_loop(0, num_joints, body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_encoder_core(quat, w1, b1, w2, b2, parents, activation, beta, tile_b):
+    """quat: (B, J, 4) padded to a tile multiple. Returns (B, J*F)."""
+    B = quat.shape[0]
+    J = len(parents)
+    F = w2.shape[-1]
+
+    q_t = jnp.transpose(quat, (1, 2, 0))        # (J, 4, B)
+    w1a = jnp.transpose(w1[:, :4, :], (0, 2, 1))   # (J, 10, 4)
+    w1b = jnp.transpose(w1[:, 4:, :], (0, 2, 1))   # (J, 10, 6)
+    w2t = jnp.transpose(w2, (0, 2, 1))             # (J, F, 10)
+    parents_arr = jnp.asarray(parents, jnp.int32)
+    pmask = jnp.asarray([0.0 if p == -1 else 1.0 for p in parents], quat.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # parents + root mask
+        grid=(B // tile_b,),
+        in_specs=[
+            pl.BlockSpec((J, 4, tile_b), lambda i, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 10, 4), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 10, F), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 10), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, F, 10), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, F), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((J, F, tile_b), lambda i, *_: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((J, F, tile_b), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _encoder_kernel, num_joints=J, activation=activation, beta=beta)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((J, F, B), quat.dtype),
+    )(parents_arr, pmask, q_t, w1a, w1b, b1, w2t, b2)
+    return jnp.transpose(out, (2, 0, 1)).reshape(B, J * F)
+
+
+def _core_fwd(quat, w1, b1, w2, b2, parents, activation, beta, tile_b):
+    out = _fused_encoder_core(quat, w1, b1, w2, b2, parents, activation, beta, tile_b)
+    return out, (quat, w1, b1, w2, b2)
+
+
+def _core_bwd(parents, activation, beta, tile_b, residuals, g):
+    from posendf_tpu.models.encoder import structure_encoder_apply
+
+    quat, w1, b1, w2, b2 = residuals
+    _, pullback = jax.vjp(
+        lambda q, a, bb, c, d: structure_encoder_apply(
+            q, a, bb, c, d, parents=parents, activation=activation, beta=beta),
+        quat, w1, b1, w2, b2,
+    )
+    return pullback(g)
+
+
+_fused_encoder_core.defvjp(_core_fwd, _core_bwd)
+
+
+def fused_structure_encoder(
+    quat: jax.Array,   # (B, J, 4)
+    w1: jax.Array,     # (J, 10, 10)  (in, out); rows 4: are the parent block
+    b1: jax.Array,     # (J, 10)
+    w2: jax.Array,     # (J, 10, F)
+    b2: jax.Array,     # (J, F)
+    *,
+    parents: Tuple[int, ...],
+    activation: str = "lrelu",
+    beta: float = 100.0,
+    tile_b: int = 2048,
+) -> jax.Array:
+    """Fused-forward structure encoder: (B, J, 4) -> (B, J*F).
+
+    Pads the batch to a tile multiple (Pallas grids need static whole tiles)
+    and slices the result back. tile_b = 2048 keeps the double-buffered
+    in/out blocks + feature scratch well under the 16 MB VMEM budget
+    (~4.5 MB) while saturating lanes; 8192 OOMs VMEM.
+    """
+    B = quat.shape[0]
+    tile_b = min(tile_b, max(128, 1 << (B - 1).bit_length()))
+    pad = (-B) % tile_b
+    if pad:
+        quat = jnp.concatenate(
+            [quat, jnp.zeros((pad,) + quat.shape[1:], quat.dtype)], axis=0)
+    out = _fused_encoder_core(quat, w1, b1, w2, b2,
+                              tuple(parents), activation, beta, tile_b)
+    return out[:B]
