@@ -77,16 +77,19 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    def timed(fn):
-        t0 = time.perf_counter()
-        out = float(fn())  # scalar readback = hard sync through the relay
-        return time.perf_counter() - t0, out
+    def timed(fn, repeats=3):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(fn())  # scalar readback = hard sync through the relay
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     lo, hi = 10, 60
     float(fwd_loop(params, pose, lo))
     float(fwd_loop(params, pose, hi))  # compile both
-    t_lo, _ = timed(lambda: fwd_loop(params, pose, lo))
-    t_hi, _ = timed(lambda: fwd_loop(params, pose, hi))
+    t_lo = timed(lambda: fwd_loop(params, pose, lo))
+    t_hi = timed(lambda: fwd_loop(params, pose, hi))
     per_iter = (t_hi - t_lo) / (hi - lo)  # dispatch RTT cancels
     evals_per_sec = B / per_iter
 
@@ -102,7 +105,7 @@ def main():
 
     proj_jit = jax.jit(proj_sum)
     float(proj_jit())  # compile
-    proj_s, _ = timed(proj_jit)
+    proj_s = timed(proj_jit)
 
     target = 1_000_000.0
     print(json.dumps({

@@ -1,0 +1,291 @@
+// posendf_io: native data-loading runtime for PoseNDF-TPU.
+//
+// The reference feeds training from 30 DataLoader worker *processes*
+// (model/load_data.py:76-85, configs/amass.yaml:52), each re-decoding .npz
+// files and gathering random rows in Python. This library replaces that with
+// an in-process C++ runtime:
+//
+//   * zero-copy .npz access: np.savez writes STORED (uncompressed) zip
+//     entries, so files are mmap'd once and every .npy payload is served as
+//     a raw pointer — no decode, no copy, page cache shared across epochs;
+//   * multithreaded batch assembly: the hot loop of training input — gather
+//     num_pts random rows per file, reduce the k distance labels to their
+//     mean, optional w>=0 quaternion canonicalization — runs on a small
+//     thread pool writing directly into the caller's pinned buffer.
+//
+// Exposed as a plain C ABI consumed via ctypes (posendf_tpu/data/native.py).
+// Build: native/build.sh -> libposendf_io.so.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// minimal zip (STORED entries only) + npy header parsing
+// ---------------------------------------------------------------------------
+
+struct NpyArray {
+  const char* data = nullptr;   // payload (after the npy header)
+  std::vector<int64_t> shape;
+  char dtype = '?';             // 'f' float32, 'd' float64, 'q' int64, 'i' int32
+  int64_t itemsize = 0;
+  int64_t rows() const { return shape.empty() ? 0 : shape[0]; }
+  int64_t row_elems() const {
+    int64_t n = 1;
+    for (size_t i = 1; i < shape.size(); ++i) n *= shape[i];
+    return n;
+  }
+};
+
+struct NpzFile {
+  int fd = -1;
+  const char* base = nullptr;
+  size_t size = 0;
+  std::unordered_map<std::string, NpyArray> arrays;
+  std::string error;
+};
+
+uint16_t rd16(const char* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+uint32_t rd32(const char* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+
+bool parse_npy(const char* p, size_t len, NpyArray* out) {
+  if (len < 10 || std::memcmp(p, "\x93NUMPY", 6) != 0) return false;
+  const uint8_t major = static_cast<uint8_t>(p[6]);
+  size_t header_len, header_off;
+  if (major == 1) {
+    header_len = rd16(p + 8);
+    header_off = 10;
+  } else {
+    header_len = rd32(p + 8);
+    header_off = 12;
+  }
+  if (header_off + header_len > len) return false;
+  std::string hdr(p + header_off, header_len);
+
+  // dtype: '<f4' etc.
+  auto dpos = hdr.find("'descr'");
+  if (dpos == std::string::npos) return false;
+  auto q0 = hdr.find('\'', dpos + 7);
+  auto q1 = hdr.find('\'', q0 + 1);
+  std::string descr = hdr.substr(q0 + 1, q1 - q0 - 1);
+  if (descr == "<f4" || descr == "|f4") { out->dtype = 'f'; out->itemsize = 4; }
+  else if (descr == "<f8") { out->dtype = 'd'; out->itemsize = 8; }
+  else if (descr == "<i8") { out->dtype = 'q'; out->itemsize = 8; }
+  else if (descr == "<i4") { out->dtype = 'i'; out->itemsize = 4; }
+  else return false;  // fortran_order / exotic dtypes unsupported
+
+  if (hdr.find("'fortran_order': False") == std::string::npos) return false;
+
+  auto spos = hdr.find("'shape':");
+  auto l = hdr.find('(', spos);
+  auto r = hdr.find(')', l);
+  std::string shape_s = hdr.substr(l + 1, r - l - 1);
+  out->shape.clear();
+  int64_t cur = -1;
+  for (char c : shape_s) {
+    if (c >= '0' && c <= '9') cur = (cur < 0 ? 0 : cur) * 10 + (c - '0');
+    else if (cur >= 0) { out->shape.push_back(cur); cur = -1; }
+  }
+  if (cur >= 0) out->shape.push_back(cur);
+  out->data = p + header_off + header_len;
+  return true;
+}
+
+NpzFile* open_npz(const char* path) {
+  auto* f = new NpzFile();
+  f->fd = ::open(path, O_RDONLY);
+  if (f->fd < 0) { f->error = "open failed"; return f; }
+  struct stat st;
+  if (fstat(f->fd, &st) != 0 || st.st_size < 22) { f->error = "stat failed"; return f; }
+  f->size = static_cast<size_t>(st.st_size);
+  void* m = mmap(nullptr, f->size, PROT_READ, MAP_PRIVATE, f->fd, 0);
+  if (m == MAP_FAILED) { f->error = "mmap failed"; return f; }
+  f->base = static_cast<const char*>(m);
+
+  // walk local file headers (PK\x03\x04); np.savez writes sequentially
+  size_t off = 0;
+  while (off + 30 <= f->size) {
+    const char* p = f->base + off;
+    if (rd32(p) != 0x04034b50u) break;  // not a local header -> central dir
+    const uint16_t method = rd16(p + 8);
+    uint32_t comp_size = rd32(p + 18);
+    const uint16_t name_len = rd16(p + 26);
+    const uint16_t extra_len = rd16(p + 28);
+    std::string name(p + 30, name_len);
+    const char* payload = p + 30 + name_len + extra_len;
+    // zip64: sizes in the extra field
+    if (comp_size == 0xFFFFFFFFu) {
+      const char* e = p + 30 + name_len;
+      const char* eend = e + extra_len;
+      while (e + 4 <= eend) {
+        uint16_t id = rd16(e), sz = rd16(e + 2);
+        if (id == 0x0001 && sz >= 16) { comp_size = static_cast<uint32_t>(
+            *reinterpret_cast<const uint64_t*>(e + 12)); }
+        e += 4 + sz;
+      }
+    }
+    if (method == 0 && name.size() > 4 &&
+        name.compare(name.size() - 4, 4, ".npy") == 0) {
+      NpyArray arr;
+      if (parse_npy(payload, comp_size, &arr)) {
+        f->arrays.emplace(name.substr(0, name.size() - 4), std::move(arr));
+      }
+    }
+    off = static_cast<size_t>(payload - f->base) + comp_size;
+  }
+  if (f->arrays.empty()) f->error = "no stored .npy entries (compressed npz?)";
+  return f;
+}
+
+void close_npz(NpzFile* f) {
+  if (!f) return;
+  if (f->base) munmap(const_cast<char*>(f->base), f->size);
+  if (f->fd >= 0) ::close(f->fd);
+  delete f;
+}
+
+// splitmix64 — deterministic per-call RNG, seeded from the caller
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    s += 0x9E3779B97f4A7C15ull;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+    return z ^ (z >> 31);
+  }
+  int64_t below(int64_t n) { return static_cast<int64_t>(next() % static_cast<uint64_t>(n)); }
+};
+
+void parallel_for(int64_t n, int threads, const std::function<void(int64_t, int64_t)>& fn) {
+  threads = std::max(1, threads);
+  if (threads == 1 || n < 2) { fn(0, n); return; }
+  std::vector<std::thread> pool;
+  int64_t chunk = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+void* pndf_open(const char* path) {
+  NpzFile* f = open_npz(path);
+  if (!f->error.empty()) { close_npz(f); return nullptr; }
+  return f;
+}
+
+void pndf_close(void* handle) { close_npz(static_cast<NpzFile*>(handle)); }
+
+// rows of array `key`; -1 if missing
+int64_t pndf_rows(void* handle, const char* key) {
+  auto* f = static_cast<NpzFile*>(handle);
+  auto it = f->arrays.find(key);
+  return it == f->arrays.end() ? -1 : it->second.rows();
+}
+
+// elements per row; -1 if missing
+int64_t pndf_row_elems(void* handle, const char* key) {
+  auto* f = static_cast<NpzFile*>(handle);
+  auto it = f->arrays.find(key);
+  return it == f->arrays.end() ? -1 : it->second.row_elems();
+}
+
+// Assemble one training sub-batch from an open labeled file:
+//   poses_out (n, 84) float32  <- pose[idx], optionally w>=0 flipped
+//   dist_out  (n,)    float32  <- mean over the k label columns of dist[idx]
+// idx are drawn internally from splitmix64(seed). Returns 0 on success.
+int pndf_sample_labeled(void* handle, int64_t n, uint64_t seed, int flip,
+                        float* poses_out, float* dist_out, int threads) {
+  auto* f = static_cast<NpzFile*>(handle);
+  auto pit = f->arrays.find("pose");
+  auto dit = f->arrays.find("dist");
+  if (pit == f->arrays.end() || dit == f->arrays.end()) return 1;
+  const NpyArray& pose = pit->second;
+  const NpyArray& dist = dit->second;
+  if (pose.dtype != 'f' || dist.dtype != 'f') return 2;
+  const int64_t rows = pose.rows();
+  const int64_t pe = pose.row_elems();     // 84 (21*4)
+  const int64_t ke = dist.row_elems();     // k labels per row
+  if (rows <= 0 || pe % 4 != 0) return 3;
+  const float* pbase = reinterpret_cast<const float*>(pose.data);
+  const float* dbase = reinterpret_cast<const float*>(dist.data);
+
+  parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
+    Rng rng(seed ^ (0xA5A5A5A5ull * static_cast<uint64_t>(lo + 1)));
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t r = rng.below(rows);
+      const float* src = pbase + r * pe;
+      float* dst = poses_out + i * pe;
+      if (flip) {
+        for (int64_t j = 0; j < pe; j += 4) {
+          const float sign = src[j] < 0.0f ? -1.0f : 1.0f;
+          dst[j] = sign * src[j];
+          dst[j + 1] = sign * src[j + 1];
+          dst[j + 2] = sign * src[j + 2];
+          dst[j + 3] = sign * src[j + 3];
+        }
+      } else {
+        std::memcpy(dst, src, pe * sizeof(float));
+      }
+      const float* drow = dbase + r * ke;
+      float acc = 0.0f;
+      for (int64_t j = 0; j < ke; ++j) acc += drow[j];
+      dist_out[i] = acc / static_cast<float>(ke);
+    }
+  });
+  return 0;
+}
+
+// Gather n random rows of float32 array `key` into out (n, row_elems).
+int pndf_sample_rows(void* handle, const char* key, int64_t n, uint64_t seed,
+                     int flip, float* out, int threads) {
+  auto* f = static_cast<NpzFile*>(handle);
+  auto it = f->arrays.find(key);
+  if (it == f->arrays.end()) return 1;
+  const NpyArray& arr = it->second;
+  if (arr.dtype != 'f') return 2;
+  const int64_t rows = arr.rows();
+  const int64_t pe = arr.row_elems();
+  if (rows <= 0) return 3;
+  const float* base = reinterpret_cast<const float*>(arr.data);
+
+  parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
+    Rng rng(seed ^ (0x5A5A5A5Aull * static_cast<uint64_t>(lo + 1)));
+    for (int64_t i = lo; i < hi; ++i) {
+      const float* src = base + rng.below(rows) * pe;
+      float* dst = out + i * pe;
+      if (flip && pe % 4 == 0) {
+        for (int64_t j = 0; j < pe; j += 4) {
+          const float sign = src[j] < 0.0f ? -1.0f : 1.0f;
+          for (int64_t c = 0; c < 4; ++c) dst[j + c] = sign * src[j + c];
+        }
+      } else {
+        std::memcpy(dst, src, pe * sizeof(float));
+      }
+    }
+  });
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,139 @@
+"""ctypes bindings for the native data-loading runtime (libposendf_io.so).
+
+The C++ runtime (``native/posendf_io.cc``) mmaps .npz files (np.savez writes
+STORED zip entries — zero decode) and assembles training sub-batches on a
+thread pool: random row gathers, k-label mean reduction, optional w>=0
+quaternion flips — the work the reference spread over 30 DataLoader worker
+processes (``model/load_data.py:76-85``). Falls back cleanly when the shared
+library hasn't been built (``native/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["available", "NativeNpz", "build"]
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "libposendf_io.so",
+)
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_lib():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pndf_open.restype = ctypes.c_void_p
+        lib.pndf_open.argtypes = [ctypes.c_char_p]
+        lib.pndf_close.argtypes = [ctypes.c_void_p]
+        lib.pndf_rows.restype = ctypes.c_int64
+        lib.pndf_rows.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.pndf_row_elems.restype = ctypes.c_int64
+        lib.pndf_row_elems.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.pndf_sample_labeled.restype = ctypes.c_int
+        lib.pndf_sample_labeled.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        lib.pndf_sample_rows.restype = ctypes.c_int
+        lib.pndf_sample_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def build() -> bool:
+    """Compile the shared library (g++) if missing. Returns availability."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    import subprocess
+
+    script = os.path.join(os.path.dirname(_LIB_PATH), "build.sh")
+    try:
+        subprocess.run(["sh", script], check=True, capture_output=True)
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class NativeNpz:
+    """An mmap'd .npz with native batch-assembly kernels."""
+
+    def __init__(self, path: str):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("libposendf_io.so not built (run native/build.sh)")
+        self._lib = lib
+        self._h = lib.pndf_open(path.encode())
+        if not self._h:
+            raise OSError(f"native open failed for {path} (compressed npz or bad file)")
+        self.path = path
+
+    def rows(self, key: str) -> int:
+        return int(self._lib.pndf_rows(self._h, key.encode()))
+
+    def row_elems(self, key: str) -> int:
+        return int(self._lib.pndf_row_elems(self._h, key.encode()))
+
+    def sample_labeled(self, n: int, seed: int, flip: bool = False,
+                       threads: int = 4,
+                       poses_out: Optional[np.ndarray] = None,
+                       dist_out: Optional[np.ndarray] = None):
+        """(poses (n, 21, 4) float32, dist (n,) float32): random labeled rows
+        with the k-label mean reduction."""
+        pe = self.row_elems("pose")
+        poses = poses_out if poses_out is not None else np.empty((n, pe), np.float32)
+        dist = dist_out if dist_out is not None else np.empty((n,), np.float32)
+        rc = self._lib.pndf_sample_labeled(
+            self._h, n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
+            _fptr(poses), _fptr(dist), threads)
+        if rc != 0:
+            raise RuntimeError(f"pndf_sample_labeled failed rc={rc} for {self.path}")
+        return poses.reshape(n, pe // 4, 4), dist
+
+    def sample_rows(self, key: str, n: int, seed: int, flip: bool = False,
+                    threads: int = 4) -> np.ndarray:
+        pe = self.row_elems(key)
+        if pe < 0:
+            raise KeyError(f"{key} not in {self.path}")
+        out = np.empty((n, pe), np.float32)
+        rc = self._lib.pndf_sample_rows(
+            self._h, key.encode(), n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
+            _fptr(out), threads)
+        if rc != 0:
+            raise RuntimeError(f"pndf_sample_rows failed rc={rc} for {self.path}")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.pndf_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

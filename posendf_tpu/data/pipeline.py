@@ -71,6 +71,8 @@ class TrainingBatcher:
         seed: int = 0,
         file_glob: str = "*/*.npz",
         subsets: Optional[Sequence[str]] = None,
+        backend: str = "auto",
+        native_threads: int = 4,
     ):
         subsets = list(subsets) if subsets is not None else AMASS_SPLITS[split]
         labeled = [
@@ -93,6 +95,28 @@ class TrainingBatcher:
         self._cache: Dict[str, Dict[str, np.ndarray]] = {}
         self._cache_lock = threading.Lock()
 
+        # native C++ loader (mmap'd npz + threaded gather); see data/native.py
+        from posendf_tpu.data import native as _native
+
+        self.native_threads = native_threads
+        if backend == "native" or (backend == "auto" and _native.available()):
+            if backend == "native" and not _native.available():
+                if not _native.build():
+                    raise RuntimeError("native backend requested but build failed")
+            self._native = _native
+            self._native_handles: Dict[str, "_native.NativeNpz"] = {}
+            self.backend = "native"
+        else:
+            self._native = None
+            self.backend = "numpy"
+
+    def _native_open(self, path: str):
+        h = self._native_handles.get(path)
+        if h is None:
+            h = self._native.NativeNpz(path)
+            self._native_handles[path] = h
+        return h
+
     def __len__(self) -> int:
         """Steps per epoch (file-level epochs like the reference loader)."""
         return max(1, len(self.files.labeled) // self.batch_size)
@@ -113,9 +137,17 @@ class TrainingBatcher:
         pose (B*P, 21, 4) float32, dist (B*P,) float32, man_poses (B*P, 21, 4).
         """
         rng = rng or self._rng
-        poses, dists, mans = [], [], []
         lab_idx = rng.integers(0, len(self.files.labeled), self.batch_size)
         man_idx = rng.integers(0, len(self.files.manifold), self.batch_size)
+
+        if self._native is not None:
+            try:
+                return self._sample_batch_native(rng, lab_idx, man_idx)
+            except (OSError, RuntimeError):
+                self._native = None  # e.g. compressed npz: fall back for good
+                self.backend = "numpy"
+
+        poses, dists, mans = [], [], []
         for li, mi in zip(lab_idx, man_idx):
             lab = self._load(self.files.labeled[li], ("pose", "dist"))
             rows = rng.integers(0, len(lab["pose"]), self.num_pts)
@@ -137,6 +169,25 @@ class TrainingBatcher:
             "dist": np.concatenate(dists).astype(np.float32),
             "man_poses": np.concatenate(mans).astype(np.float32),
         }
+
+    def _sample_batch_native(self, rng, lab_idx, man_idx) -> Dict[str, np.ndarray]:
+        """C++ fast path: whole-batch gather into pre-sized buffers."""
+        B, P = self.batch_size, self.num_pts
+        pose = np.empty((B * P, 21, 4), np.float32)
+        dist = np.empty((B * P,), np.float32)
+        man = np.empty((B * P, 21, 4), np.float32)
+        for b, (li, mi) in enumerate(zip(lab_idx, man_idx)):
+            seed = int(rng.integers(0, 2 ** 62))
+            h = self._native_open(self.files.labeled[li])
+            p, d = h.sample_labeled(P, seed, flip=self.flip,
+                                    threads=self.native_threads,
+                                    poses_out=pose[b * P:(b + 1) * P].reshape(P, 84),
+                                    dist_out=dist[b * P:(b + 1) * P])
+            hm = self._native_open(self.files.manifold[mi])
+            man[b * P:(b + 1) * P] = hm.sample_rows(
+                "pose", P, seed ^ 0xDEADBEEF, flip=self.flip,
+                threads=self.native_threads).reshape(P, 21, 4)
+        return {"pose": pose, "dist": dist, "man_poses": man}
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         """Deterministic per-epoch stream of len(self) batches."""

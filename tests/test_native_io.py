@@ -1,0 +1,106 @@
+"""Native C++ data-loader tests: npz parsing vs numpy, sampling semantics,
+batcher fast path vs the numpy path, and graceful fallback."""
+
+import numpy as np
+import pytest
+
+from posendf_tpu.data import native
+from posendf_tpu.data.synthetic import write_synthetic_dataset
+
+pytestmark = pytest.mark.skipif(
+    not (native.available() or native.build()),
+    reason="libposendf_io.so unavailable and g++ build failed",
+)
+
+
+@pytest.fixture(scope="module")
+def npz_file(tmp_path_factory, ):
+    rng = np.random.default_rng(0)
+    path = tmp_path_factory.mktemp("native") / "seq.npz"
+    pose = rng.normal(size=(500, 21, 4)).astype(np.float32)
+    pose /= np.linalg.norm(pose, axis=-1, keepdims=True)
+    dist = np.abs(rng.normal(size=(500, 5))).astype(np.float32)
+    np.savez(path, pose=pose, dist=dist)
+    return str(path), pose, dist
+
+
+def test_open_and_shapes(npz_file):
+    path, pose, dist = npz_file
+    h = native.NativeNpz(path)
+    assert h.rows("pose") == 500
+    assert h.row_elems("pose") == 84
+    assert h.rows("dist") == 500
+    assert h.row_elems("dist") == 5
+    assert h.rows("missing") == -1
+    h.close()
+
+
+def test_sample_labeled_semantics(npz_file):
+    path, pose, dist = npz_file
+    h = native.NativeNpz(path)
+    p, d = h.sample_labeled(200, seed=42)
+    assert p.shape == (200, 21, 4) and d.shape == (200,)
+    # every sampled pose must be an exact row of the source, and its label
+    # the mean of that row's k distances
+    flat = pose.reshape(500, -1)
+    mean_d = dist.mean(axis=1)
+    for i in range(0, 200, 17):
+        row = p[i].reshape(-1)
+        matches = np.where((flat == row).all(axis=1))[0]
+        assert len(matches) >= 1
+        assert any(abs(mean_d[m] - d[i]) < 1e-6 for m in matches)
+    h.close()
+
+
+def test_sample_labeled_deterministic(npz_file):
+    path, _, _ = npz_file
+    h = native.NativeNpz(path)
+    p1, d1 = h.sample_labeled(64, seed=7)
+    p2, d2 = h.sample_labeled(64, seed=7)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(d1, d2)
+    p3, _ = h.sample_labeled(64, seed=8)
+    assert not np.array_equal(p1, p3)
+    h.close()
+
+
+def test_flip_canonicalizes(npz_file):
+    path, _, _ = npz_file
+    h = native.NativeNpz(path)
+    p, _ = h.sample_labeled(128, seed=3, flip=True)
+    assert (p[..., 0] >= 0).all()
+    # flipping preserves the rotation: |q| unchanged
+    np.testing.assert_allclose(np.linalg.norm(p, axis=-1), 1.0, atol=1e-5)
+    h.close()
+
+
+def test_batcher_native_path_matches_numpy_semantics(tmp_path):
+    from posendf_tpu.data.pipeline import TrainingBatcher
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path))
+    b_nat = TrainingBatcher(labeled, amass, batch_size=2, num_pts=64,
+                            backend="native", seed=0)
+    assert b_nat.backend == "native"
+    batch = b_nat.sample_batch()
+    assert batch["pose"].shape == (128, 21, 4)
+    assert batch["dist"].shape == (128,)
+    assert batch["man_poses"].shape == (128, 21, 4)
+    assert (batch["dist"] > 0).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(batch["pose"], axis=-1), 1.0, atol=1e-4)
+
+    b_np = TrainingBatcher(labeled, amass, batch_size=2, num_pts=64,
+                           backend="numpy", seed=0)
+    ref = b_np.sample_batch()
+    # same semantics (not same RNG): distributions of labels must agree
+    assert abs(batch["dist"].mean() - ref["dist"].mean()) < 0.1
+
+
+def test_fallback_on_compressed_npz(tmp_path):
+    """savez_compressed produces DEFLATE entries the native reader rejects;
+    opening must fail cleanly (the batcher then falls back to numpy)."""
+    rng = np.random.default_rng(0)
+    path = tmp_path / "c.npz"
+    np.savez_compressed(path, pose=rng.normal(size=(10, 21, 4)).astype(np.float32))
+    with pytest.raises(OSError):
+        native.NativeNpz(str(path))
