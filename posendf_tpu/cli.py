@@ -57,7 +57,10 @@ def cmd_train(args):
     from posendf_tpu.data.pipeline import TrainingBatcher
     from posendf_tpu.parallel import make_mesh
     from posendf_tpu.training.trainer import Trainer
+    from posendf_tpu.utils import enable_nan_debugging, trace
 
+    if args.debug_nans:
+        enable_nan_debugging()
     cfg = _load(args)
     if args.max_epoch is not None:
         cfg.train.max_epoch = args.max_epoch
@@ -67,11 +70,28 @@ def cmd_train(args):
         batch_size=cfg.train.batch_size, num_pts=cfg.train.num_pts,
         flip=cfg.train.flip,
     )
+    val_batcher = None
+    if cfg.experiment.val:
+        try:
+            val_batcher = TrainingBatcher(
+                cfg.data.data_dir, cfg.data.amass_dir, split="vald",
+                batch_size=cfg.train.batch_size, num_pts=cfg.train.num_pts,
+                flip=cfg.train.flip,
+            )
+        except FileNotFoundError:
+            print("experiment.val=True but no vald-split data found; skipping validation")
     trainer = Trainer(cfg, mesh=mesh, config_path=args.config)
     epochs = cfg.train.max_epoch - trainer.epoch
     print(f"training {cfg.exp_name()} from epoch {trainer.epoch} for {epochs} epochs "
           f"on {mesh.devices.size} device(s)")
-    trainer.fit(batcher, epochs=epochs)
+    with trace(args.profile):
+        for _ in range(epochs):
+            trainer.fit(batcher, epochs=1)
+            # reference cadence: validate every 100 epochs (trainer.py:23-24)
+            if val_batcher is not None and trainer.epoch % 100 == 0:
+                stats = trainer.validate(iter([val_batcher.sample_batch()
+                                               for _ in range(len(val_batcher))]))
+                print(f"val epoch {trainer.epoch}: total={stats['total']:.6f}")
 
 
 def cmd_generate(args):
@@ -131,6 +151,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("train", help="train the distance field")
     _add_common(p)
     p.add_argument("--max-epoch", type=int, default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise immediately on any NaN under jit")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("generate", help="sample poses by manifold projection")
@@ -183,6 +207,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--runs", type=int, default=1000)
     p.add_argument("--k-candidates", type=int, default=500)
     p.add_argument("--k", type=int, default=5)
+    p.add_argument("--metric", choices=["geo", "euc"], default="geo")
+    p.add_argument("--weighted", action="store_true",
+                   help="joint-rank-weighted distance (dist_utils.py:39)")
     p.set_defaults(fn=cmd_prepare_data)
 
     return ap

@@ -48,6 +48,10 @@ class DFNetConfig:
     dims: List[int] = field(default_factory=lambda: [256, 512, 1024, 512, 256, 64])
     act: str = "lrelu"
     beta: float = 100.0
+    ff_enc: bool = False   # NeRF positional encoding on the DFNet input
+    ff_freqs: int = 4
+    compute_dtype: str = "float32"  # 'bfloat16' = MXU fast path
+    precision: str = "default"      # 'highest' = true-fp32 matmuls (parity mode)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -114,6 +118,10 @@ class PoseNDFConfig:
             beta=self.dfnet.beta,
             parents=parents,
             use_fused=self.strenc.fused,
+            ff_enc=self.dfnet.ff_enc,
+            ff_freqs=self.dfnet.ff_freqs,
+            compute_dtype=self.dfnet.compute_dtype,
+            precision=self.dfnet.precision,
         )
 
 

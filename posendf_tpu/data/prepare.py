@@ -165,6 +165,18 @@ class NoiseSpec:
         return np.rint(num_samples * np.asarray(self.distribution)).astype(np.int64)
 
 
+def quat_doublecover(quats: np.ndarray, samples: int,
+                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Randomly negate ``samples`` joint quaternions so training data covers
+    both hemispheres of the q == -q double cover (reference augmentation,
+    ``data/create_data.py:22-27``)."""
+    rng = rng or np.random.default_rng(0)
+    out = quats.reshape(-1, 4).copy()
+    idx = rng.integers(0, len(out), samples)
+    out[idx] = -out[idx]
+    return out.reshape(quats.shape)
+
+
 def sample_noisy_queries(
     clean_quats: np.ndarray,
     num_samples: int,
@@ -198,29 +210,42 @@ def label_sequence(
     k: int = 5,
     k_candidates: int = 0,
     metric: str = "geo",
+    weighted: bool = False,
     query_batch: int = 4096,
     rng: Optional[np.random.Generator] = None,
     spec: NoiseSpec = NoiseSpec(),
 ) -> dict:
-    """Label one sequence: noisy queries + their k nearest geodesic distances
-    against the corpus. ``k_candidates > 0`` selects the reference-shaped
-    two-stage search (L2 candidates -> geodesic re-rank); 0 = exact
-    single-stage geodesic top-k."""
+    """Label one sequence: noisy queries + their k nearest distances against
+    the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
+    'euc' (per-joint L2, ``dist_utils.euc``); ``weighted`` uses the
+    joint-rank weights (``dist_utils.py:16,39``). ``k_candidates > 0``
+    selects the reference-shaped two-stage search (L2 candidates -> re-rank);
+    0 = exact single-stage geodesic top-k."""
     import jax.numpy as jnp
 
-    from posendf_tpu.ops import geodesic_rerank, geodesic_topk, l2_topk
+    from posendf_tpu.ops import (
+        euclidean_rerank, geodesic_rerank, geodesic_topk, l2_topk)
+    from posendf_tpu.quat import SMPL_JOINT_RANK
 
     queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
     corpus = jnp.asarray(corpus)
     N = corpus.shape[0]
+    w = None
+    if weighted:
+        w = jnp.asarray(SMPL_JOINT_RANK) / jnp.linalg.norm(jnp.asarray(SMPL_JOINT_RANK))
 
     dists, idxs = [], []
     for start in range(0, len(queries), query_batch):
         q = jnp.asarray(queries[start:start + query_batch])
-        if k_candidates and k_candidates < N:
+        if metric == "euc" or k_candidates and k_candidates < N:
+            kc = k_candidates if (k_candidates and k_candidates < N) else N
+            _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)
+            rerank = euclidean_rerank if metric == "euc" else geodesic_rerank
+            d, i = rerank(q, corpus, cand, k=k, weights=w)
+        elif weighted:
             _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1),
-                              k=k_candidates)
-            d, i = geodesic_rerank(q, corpus, cand, k=k)
+                              k=min(max(64, 4 * k), N))
+            d, i = geodesic_rerank(q, corpus, cand, k=k, weights=w)
         else:
             d, i = geodesic_topk(q, corpus, k=k)
         dists.append(np.asarray(d))
@@ -240,6 +265,8 @@ def label_split(
     runs: int = 1000,
     k: int = 5,
     k_candidates: int = 0,
+    metric: str = "geo",
+    weighted: bool = False,
     seed: int = 0,
     skip_if_exists: bool = True,
 ) -> List[str]:
@@ -270,7 +297,7 @@ def label_split(
         labeled = label_sequence(
             seq_quats, corpus_dev,
             num_queries=num_queries * runs, k=k, k_candidates=k_candidates,
-            rng=rng,
+            metric=metric, weighted=weighted, rng=rng,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
@@ -290,5 +317,7 @@ def run_cli(args) -> None:
             src, labeled_dir, subsets,
             num_queries=args.num_samples, runs=args.runs,
             k=args.k, k_candidates=args.k_candidates if args.k_candidates else 0,
+            metric=getattr(args, "metric", "geo"),
+            weighted=getattr(args, "weighted", False),
         )
         print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")

@@ -75,6 +75,7 @@ class StructureEncoder(nn.Module):
     activation: str = "lrelu"
     beta: float = 100.0
     use_fused: bool = False
+    precision: str = "default"
 
     @property
     def num_joints(self) -> int:
@@ -125,6 +126,7 @@ class StructureEncoder(nn.Module):
             parents=self.parents,
             activation=self.activation,
             beta=self.beta,
+            precision=self.precision,
         )
 
 
@@ -138,9 +140,12 @@ def structure_encoder_apply(
     parents: Tuple[int, ...],
     activation: str = "lrelu",
     beta: float = 100.0,
+    precision: str = "default",
 ) -> jax.Array:
     """Pure-XLA level-scheduled forward. (B, J, 4) -> (B, J * F)."""
     act = make_activation(activation, beta)
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     B = quat.shape[0]
     J = len(parents)
     F = w2.shape[-1]
@@ -156,8 +161,8 @@ def structure_encoder_apply(
         mask = jnp.asarray(~is_root[js], dtype=quat.dtype)[None, :, None]
         parent_feat = parent_feat * mask  # ...zeroed here (roots see zeros)
         inp = jnp.concatenate([quat[:, js, :], parent_feat], axis=-1)  # (B,n,10)
-        h = act(jnp.einsum("bnd,ndh->bnh", inp, w1[js]) + b1[js])
-        f = act(jnp.einsum("bnh,nhf->bnf", h, w2[js]) + b2[js])
+        h = act(jnp.einsum("bnd,ndh->bnh", inp, w1[js], precision=prec) + b1[js])
+        f = act(jnp.einsum("bnh,nhf->bnf", h, w2[js], precision=prec) + b2[js])
         features = features.at[:, js, :].set(f)
 
     return features.reshape(B, J * F)

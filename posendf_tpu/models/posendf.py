@@ -40,6 +40,10 @@ class PoseNDF(nn.Module):
     beta: float = 100.0
     parents: Tuple[int, ...] = kinematics.REFERENCE_PARENTS
     use_fused: bool = False
+    ff_enc: bool = False    # NeRF positional encoding on the DFNet input
+    ff_freqs: int = 4       # (the reference's unused ff_enc switch, made real)
+    compute_dtype: str = "float32"  # 'bfloat16' = MXU fast path on DFNet
+    precision: str = "default"      # 'highest' = fp32 MXU passes (parity mode)
 
     def setup(self):
         if self.use_encoder:
@@ -49,16 +53,23 @@ class PoseNDF(nn.Module):
                 activation=self.activation,
                 beta=self.beta,
                 use_fused=self.use_fused,
+                precision=self.precision,
             )
             in_dim = self.num_joints * self.feature_size
         else:
             self.enc = None
             in_dim = self.num_joints * 4
+        if self.ff_enc:
+            from posendf_tpu.models.pos_encoder import encoded_dim
+
+            in_dim = encoded_dim(in_dim, self.ff_freqs)
         self.dfnet = DFNet(
             in_dim=in_dim,
             dims=self.dfnet_dims,
             activation=self.activation,
             beta=self.beta,
+            compute_dtype=self.compute_dtype,
+            precision=self.precision,
         )
 
     def __call__(self, pose: jax.Array, normalize_input: bool = True) -> jax.Array:
@@ -77,4 +88,8 @@ class PoseNDF(nn.Module):
         x = joint_axis_normalize(pose) if normalize_input else pose
         if self.enc is not None:
             x = self.enc(x)
+        if self.ff_enc:
+            from posendf_tpu.models.pos_encoder import positional_encoding
+
+            x = positional_encoding(x.reshape(x.shape[0], -1), self.ff_freqs)
         return self.dfnet(x)

@@ -23,7 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["l2_topk", "geodesic_topk", "geodesic_rerank"]
+__all__ = ["l2_topk", "geodesic_topk", "geodesic_rerank", "euclidean_rerank"]
 
 
 def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> jax.Array:
@@ -100,6 +100,28 @@ def geodesic_rerank(
     else:
         geo = jnp.mean(per_joint, axis=-1)             # (Q, C)
     neg_top, arg = jax.lax.top_k(-geo, k)
+    return -neg_top, jnp.take_along_axis(cand_idx, arg, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def euclidean_rerank(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    cand_idx: jax.Array,      # (Q, C)
+    k: int,
+    weights: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-joint quaternion L2 metric (the reference's ``euc`` calculator,
+    ``data/dist_utils.py:19-30``): mean over joints of ||q_j - c_j|| (or the
+    joint-weighted sum). Returns the k smallest (dists, corpus indices)."""
+    cand = corpus_quats[cand_idx]                          # (Q, C, J, 4)
+    diff = query_quats[:, None] - cand
+    per_joint = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)  # (Q, C, J)
+    if weights is not None:
+        d = jnp.sum(weights[None, None, :] * per_joint, axis=-1)
+    else:
+        d = jnp.mean(per_joint, axis=-1)
+    neg_top, arg = jax.lax.top_k(-d, k)
     return -neg_top, jnp.take_along_axis(cand_idx, arg, axis=1)
 
 

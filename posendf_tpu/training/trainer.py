@@ -154,6 +154,40 @@ class Trainer:
         self.metrics.log(self.epoch, out)
         return out
 
+    def validate(self, batches: Iterator[Dict[str, Any]]) -> Dict[str, float]:
+        """Validation pass: the same loss terms, no gradient/update.
+
+        First-class here — the reference defines ``val: False`` in its config
+        and its ``validate`` method is commented out
+        (``model/train_posendf.py:112-143``), so ``val: True`` crashes v1.
+        """
+        if not hasattr(self, "_eval_step"):
+            module = self.module
+            cfg = self.cfg
+
+            def eval_step(params, batch):
+                from posendf_tpu.losses import training_loss
+
+                total, terms = training_loss(
+                    module, params,
+                    batch["pose"], batch["dist"], batch["man_poses"],
+                    loss_type=cfg.train.loss_type,
+                    weight_dist=cfg.train.dist,
+                    weight_man=cfg.train.man_loss,
+                    weight_eikonal=cfg.train.eikonal,
+                )
+                return dict(terms, total=total)
+
+            self._eval_step = jax.jit(eval_step)
+        avg = {k: RunningAverage() for k in ("total", "dist", "man_loss", "eikonal")}
+        for batch in batches:
+            m = self._eval_step(self.params, batch)
+            for k, meter in avg.items():
+                meter.update(float(m[k]))
+        out = {k: m.avg for k, m in avg.items()}
+        self.metrics.log(self.epoch, out, prefix="val")
+        return out
+
     def save(self):
         state = {"params": jax.device_get(self.params),
                  "opt_state": jax.device_get(self.opt_state)}

@@ -1,0 +1,120 @@
+"""Aux-subsystem tests: validation pass, metrics logging, profiling hooks,
+euclidean re-rank metric, double-cover augmentation, positional encoding."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from posendf_tpu.config import PoseNDFConfig
+from posendf_tpu.data.pipeline import TrainingBatcher
+from posendf_tpu.data.prepare import quat_doublecover
+from posendf_tpu.data.synthetic import write_synthetic_dataset
+from posendf_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("aux")
+    return write_synthetic_dataset(str(root))
+
+
+def test_validate_pass_and_metrics_log(dataset, tmp_path):
+    labeled, amass = dataset
+    cfg = PoseNDFConfig()
+    cfg.data.data_dir, cfg.data.amass_dir = labeled, amass
+    cfg.experiment.root_dir = str(tmp_path)
+    cfg.dfnet.dims = [32]
+    cfg.dfnet.act = cfg.strenc.act = "softplus"
+    batcher = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32)
+    trainer = Trainer(cfg)
+    trainer.train_epoch(iter([batcher.sample_batch()]))
+    stats = trainer.validate(iter([batcher.sample_batch()]))
+    assert set(stats) >= {"total", "dist", "man_loss", "eikonal"}
+    assert np.isfinite(stats["total"])
+
+    with open(os.path.join(trainer.exp_dir, "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert any("train/total" in l for l in lines)
+    assert any("val/total" in l for l in lines)
+
+
+def test_euclidean_rerank_matches_oracle(rng):
+    from posendf_tpu.ops import euclidean_rerank
+
+    q = rng.normal(size=(6, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    c = rng.normal(size=(80, 21, 4)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=-1, keepdims=True)
+    cand = jnp.tile(jnp.arange(80, dtype=jnp.int32)[None], (6, 1))
+    d, i = euclidean_rerank(jnp.asarray(q), jnp.asarray(c), cand, k=5)
+    ref = np.linalg.norm(q[:, None] - c[None], axis=-1).mean(-1)  # (6, 80)
+    idx = np.argsort(ref, axis=1)[:, :5]
+    np.testing.assert_allclose(np.asarray(d), np.take_along_axis(ref, idx, 1), atol=1e-5)
+
+
+def test_quat_doublecover(rng):
+    q = rng.normal(size=(50, 21, 4)).astype(np.float32)
+    out = quat_doublecover(q, samples=200, rng=np.random.default_rng(0))
+    assert out.shape == q.shape
+    flat_in, flat_out = q.reshape(-1, 4), out.reshape(-1, 4)
+    flipped = (flat_in == -flat_out).all(axis=1)
+    same = (flat_in == flat_out).all(axis=1)
+    assert (flipped | same).all()
+    assert flipped.sum() > 0
+
+
+def test_positional_encoding():
+    from posendf_tpu.models.pos_encoder import encoded_dim, positional_encoding
+
+    x = jnp.asarray([[0.5, -1.0]])
+    out = positional_encoding(x, num_frequencies=2)
+    assert out.shape == (1, encoded_dim(2, 2))
+    o = np.asarray(out[0])
+    np.testing.assert_allclose(o[:2], [0.5, -1.0])
+    np.testing.assert_allclose(o[2:4], np.sin([0.5, -1.0]), atol=1e-6)
+    np.testing.assert_allclose(o[4:6], np.cos([0.5, -1.0]), atol=1e-6)
+    np.testing.assert_allclose(o[6:8], np.sin([1.0, -2.0]), atol=1e-6)
+
+
+def test_ff_enc_model_builds_and_runs(rng):
+    cfg = PoseNDFConfig()
+    cfg.dfnet.ff_enc = True
+    cfg.dfnet.ff_freqs = 2
+    cfg.dfnet.dims = [32]
+    m = cfg.make_model()
+    params = m.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    q = rng.normal(size=(4, 21, 4)).astype(np.float32)
+    out = m.apply({"params": params}, jnp.asarray(q))
+    assert out.shape == (4, 1)
+    # input layer must expect the lifted dimension: 126 * (2*2+1)
+    assert params["dfnet"]["w0"].shape[0] == 126 * 5
+
+
+def test_profiling_utils(tmp_path):
+    from posendf_tpu.utils import StepTimer, trace
+
+    t = StepTimer()
+    t.start()
+    dt = t.stop()
+    assert dt >= 0 and t.ema is not None
+    with trace(None):  # no-op path
+        pass
+
+
+def test_labeler_metric_variants(rng):
+    from posendf_tpu.data.prepare import label_sequence
+    from posendf_tpu.data.synthetic import synthetic_manifold_poses
+
+    clean = synthetic_manifold_poses(rng, 32)
+    corpus = synthetic_manifold_poses(rng, 64)
+    for kwargs in ({"metric": "euc", "k_candidates": 64},
+                   {"metric": "geo", "weighted": True},
+                   {"metric": "geo", "k_candidates": 32}):
+        lab = label_sequence(clean, corpus, num_queries=10, k=3,
+                             rng=np.random.default_rng(0), **kwargs)
+        assert lab["dist"].shape == (10, 3)
+        assert (np.diff(lab["dist"], axis=1) >= -1e-6).all()
