@@ -138,6 +138,25 @@ def cmd_fit_image(args):
     run_cli(args)
 
 
+def cmd_denoise_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from posendf_tpu.experiments.denoise import MotionDenoiser
+    from posendf_tpu.experiments.denoise_benchmark import run_sweep, synthesize_grid
+    from posendf_tpu.smpl import BodyModel
+
+    cfg = _load(args)
+    module, params = _load_params(cfg, args.ckpt)
+    bm = BodyModel(bm_path=args.bm_path) if args.bm_path else BodyModel()
+    data_root = args.data_root
+    if args.synthesize:
+        data_root = synthesize_grid(args.data_root, seqs_per_level=args.seqs_per_level)
+    denoiser = MotionDenoiser(module, params, bm)
+    run_sweep(denoiser, data_root, iterations=args.iterations,
+              steps_per_iter=args.steps_per_iter, out_path=args.out)
+
+
 def cmd_prepare_data(args):
     from posendf_tpu.data.prepare import run_cli
 
@@ -196,6 +215,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None)
     p.set_defaults(fn=cmd_fit_image)
+
+    p = sub.add_parser("denoise-bench", help="motion-denoising benchmark sweep (HuMoR-style grid)")
+    _add_common(p)
+    p.add_argument("--data-root", required=True,
+                   help="grid root: <root>/<level>/<seq>/observations.npz")
+    p.add_argument("--synthesize", action="store_true",
+                   help="fabricate a synthetic noise grid under --data-root first")
+    p.add_argument("--seqs-per-level", type=int, default=2)
+    p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--steps-per-iter", type=int, default=50)
+    p.add_argument("--bm-path", default=None)
+    p.add_argument("--out", default=None, help="aggregate results .npz")
+    p.set_defaults(fn=cmd_denoise_bench)
 
     p = sub.add_parser("prepare-data", help="AMASS sampling + kNN distance labeling")
     _add_common(p)

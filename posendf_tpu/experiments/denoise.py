@@ -64,14 +64,31 @@ class MotionDenoiser:
         iterations: int = 10,
         steps_per_iter: int = 50,
         betas: Optional[jax.Array] = None,
+        mesh=None,
+        mesh_axis: str = "data",
     ) -> Tuple[jax.Array, Dict[str, float]]:
-        """Returns (denoised pose_body (B, 69), metrics)."""
+        """Returns (denoised pose_body (B, 69), metrics).
+
+        ``mesh``: shard the frame axis over the given mesh axis — the jitted
+        solve then runs SPMD, with the temporal term's 1-frame halo handled
+        by XLA's partitioner (see parallel/halo.py for the explicit idiom).
+        The reference caps clips at one GPU (120 frames,
+        ``partial_observation.py:116``); sharding removes that cap.
+        """
         init_out = self.body_model(pose_body=noisy_pose_body, betas=betas)
         pose0 = init_out.body_pose
         B = pose0.shape[0]
         betas_arr = init_out.betas
         init_joints = jax.lax.stop_gradient(init_out.Jtr)
         init_verts = jax.lax.stop_gradient(init_out.vertices)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frame_sharding = NamedSharding(mesh, P(mesh_axis))
+            pose0 = jax.device_put(pose0, frame_sharding)
+            betas_arr = jax.device_put(betas_arr, frame_sharding)
+            init_joints = jax.device_put(init_joints, frame_sharding)
         smpl_model = self.body_model.model
         module, params = self.module, self.params
 

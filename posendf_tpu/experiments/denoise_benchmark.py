@@ -1,0 +1,111 @@
+"""Motion-denoising benchmark sweep: the reference's headline quality grid.
+
+Capability parity with the reference's ``__main__`` sweep
+(``experiments/motion_denoise.py:158-191``): iterate noise levels
+(sigma in {0.01, 0.05, 0.1, 0.5} at 60 frames — the HuMoR-derived grid),
+denoise every sequence, aggregate the v2v-cm error per level, and save a
+results ``.npz`` table.
+
+Two data sources:
+  * ``data_root`` — directories of real noisy/gt sequences laid out as
+    ``<root>/<grid-name>/<seq>/observations.npz`` + ``gt_results.npz``
+    (the reference's HuMoR results layout);
+  * ``synthesize=True`` — a hermetic grid: clean sequences sampled from the
+    synthetic manifold, perturbed per sigma. Lets the benchmark run without
+    licensed datasets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from posendf_tpu.experiments.denoise import MotionDenoiser
+
+__all__ = ["DEFAULT_GRID", "run_sweep", "synthesize_grid"]
+
+# (sigma, frames) — reference grid motion_denoise.py:171-172
+DEFAULT_GRID: Tuple[Tuple[float, int], ...] = (
+    (0.01, 60), (0.05, 60), (0.1, 60), (0.5, 60),
+)
+
+
+def synthesize_grid(
+    out_root: str,
+    grid: Sequence[Tuple[float, int]] = DEFAULT_GRID,
+    seqs_per_level: int = 2,
+    seed: int = 0,
+) -> str:
+    """Fabricate a noise grid: gt = smooth synthetic pose sequences,
+    observations = gt + sigma * N(0,1) on the 63 body-pose dims."""
+    from posendf_tpu.data.synthetic import synthetic_manifold_poses
+    from posendf_tpu.quat import quaternion_to_axis_angle
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    for sigma, frames in grid:
+        level = f"noise_{sigma}_{frames}"
+        for s in range(seqs_per_level):
+            d = os.path.join(out_root, level, f"seq{s:02d}")
+            os.makedirs(d, exist_ok=True)
+            quats = synthetic_manifold_poses(rng, frames)
+            aa = np.asarray(quaternion_to_axis_angle(jnp.asarray(quats)))
+            gt = aa.reshape(frames, 63).astype(np.float32)
+            noisy = gt + sigma * rng.standard_normal(gt.shape).astype(np.float32)
+            np.savez(os.path.join(d, "gt_results.npz"), pose_body=gt)
+            np.savez(os.path.join(d, "observations.npz"), pose_body=noisy)
+    return out_root
+
+
+def _load_pose63(path: str, frames: Optional[int] = None) -> np.ndarray:
+    with np.load(path) as z:
+        key = "pose_body" if "pose_body" in z else "pose"
+        pb = np.asarray(z[key]).astype(np.float32)
+    out = np.zeros((len(pb), 69), np.float32)
+    out[:, : min(pb.shape[1], 69)] = pb[:, :69]
+    return out[:frames] if frames else out
+
+
+def run_sweep(
+    denoiser: MotionDenoiser,
+    data_root: str,
+    grid_names: Optional[Sequence[str]] = None,
+    iterations: int = 10,
+    steps_per_iter: int = 50,
+    out_path: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Denoise every sequence of every grid level; returns
+    {level: v2v_cm array} and optionally saves the aggregate table
+    (the reference's ``posendf_table_2.npz``, ``motion_denoise.py:191``)."""
+    import jax.numpy as jnp
+
+    levels = grid_names or sorted(os.listdir(data_root))
+    results: Dict[str, np.ndarray] = {}
+    for level in levels:
+        level_dir = os.path.join(data_root, level)
+        if not os.path.isdir(level_dir):
+            continue
+        errors: List[float] = []
+        for seq in sorted(os.listdir(level_dir)):
+            obs = os.path.join(level_dir, seq, "observations.npz")
+            gt = os.path.join(level_dir, seq, "gt_results.npz")
+            if not os.path.exists(obs):
+                continue
+            noisy = _load_pose63(obs)
+            gt_arr = _load_pose63(gt, frames=len(noisy)) if os.path.exists(gt) else None
+            _, metrics = denoiser.optimize(
+                jnp.asarray(noisy),
+                jnp.asarray(gt_arr) if gt_arr is not None else None,
+                iterations=iterations, steps_per_iter=steps_per_iter,
+            )
+            errors.append(metrics.get("v2v_cm", metrics["v2v_vs_input_cm"]))
+        results[level] = np.asarray(errors, np.float64)
+        mean = results[level].mean() if len(errors) else float("nan")
+        print(f"{level}: {len(errors)} seqs, mean v2v {mean:.4f} cm")
+    if out_path:
+        np.savez(out_path, **results)
+        print(f"wrote {out_path}")
+    return results

@@ -24,7 +24,12 @@ import numpy as np
 
 from posendf_tpu import kinematics
 
-__all__ = ["params_from_torch_state_dict", "load_torch_checkpoint"]
+__all__ = [
+    "params_from_torch_state_dict",
+    "load_torch_checkpoint",
+    "torch_state_dict_from_params",
+    "save_torch_checkpoint",
+]
 
 
 def _to_numpy(t) -> np.ndarray:
@@ -73,6 +78,47 @@ def params_from_torch_state_dict(
         raise ValueError("state dict has no dfnet.lin* keys — not a PoseNDF checkpoint")
     params["dfnet"] = dfnet
     return params
+
+
+def torch_state_dict_from_params(
+    params: Mapping,
+    *,
+    parents: Sequence[int] = kinematics.REFERENCE_PARENTS,
+) -> Dict[str, "np.ndarray"]:
+    """Inverse of ``params_from_torch_state_dict``: export TPU params to the
+    reference's state-dict layout so users can move checkpoints back to the
+    PyTorch implementation. Root BoneMLP weights are un-padded to (10, 4)."""
+    out: Dict[str, np.ndarray] = {}
+    if "enc" in params:
+        enc = params["enc"]
+        w1 = np.asarray(enc["w1"])
+        b1 = np.asarray(enc["b1"])
+        w2 = np.asarray(enc["w2"])
+        b2 = np.asarray(enc["b2"])
+        for j, p in enumerate(parents):
+            fan_in = 4 if p == -1 else w1.shape[1]
+            out[f"enc.net.{j}.net.0.weight"] = w1[j, :fan_in, :].T.copy()
+            out[f"enc.net.{j}.net.0.bias"] = b1[j].copy()
+            out[f"enc.net.{j}.net.2.weight"] = w2[j].T.copy()
+            out[f"enc.net.{j}.net.2.bias"] = b2[j].copy()
+    dfnet = params["dfnet"]
+    l = 0
+    while f"w{l}" in dfnet:
+        out[f"dfnet.lin{l}.weight"] = np.asarray(dfnet[f"w{l}"]).T.copy()
+        out[f"dfnet.lin{l}.bias"] = np.asarray(dfnet[f"b{l}"]).copy()
+        l += 1
+    return out
+
+
+def save_torch_checkpoint(path: str, params: Mapping, epoch: int = 0,
+                          **kwargs) -> None:
+    """Write a reference-format ``.tar`` checkpoint (model_state_dict +
+    epoch) loadable by the upstream PyTorch code. Requires torch."""
+    import torch
+
+    sd = {k: torch.from_numpy(v) for k, v in
+          torch_state_dict_from_params(params, **kwargs).items()}
+    torch.save({"epoch": epoch, "model_state_dict": sd}, path)
 
 
 def load_torch_checkpoint(path: str, **kwargs) -> Tuple[Dict, Optional[int]]:

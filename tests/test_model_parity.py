@@ -85,3 +85,32 @@ def test_jit_and_vmap_compose(rng):
     out1 = f(pose)
     out2 = jmodel.apply({"params": params}, pose)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_torch_export_roundtrip(rng):
+    """params -> torch state dict -> params must be lossless, and the
+    exported .tar must load through the torch oracle with identical outputs."""
+    import jax.numpy as jnp
+    from posendf_tpu.training.torch_import import (
+        save_torch_checkpoint, load_torch_checkpoint)
+
+    tmodel, jmodel, params = _make_pair(act="softplus", seed=5)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "export.tar")
+        save_torch_checkpoint(path, params, epoch=7)
+        params2, epoch = load_torch_checkpoint(path)
+        assert epoch == 7
+        for k in ("w1", "b1", "w2", "b2"):
+            np.testing.assert_array_equal(
+                np.asarray(params["enc"][k]), params2["enc"][k])
+        # load into a fresh torch oracle: outputs must match the jax model
+        t2 = TorchPoseNDF(act="softplus")
+        ckpt = torch.load(path, weights_only=False)
+        t2.load_state_dict(ckpt["model_state_dict"])
+        pose = rng.normal(size=(8, 21, 4)).astype(np.float32)
+        pose /= np.linalg.norm(pose, axis=-1, keepdims=True)
+        with torch.no_grad():
+            ref = t2(torch.from_numpy(pose)).numpy()
+        ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(pose)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)

@@ -73,3 +73,24 @@ def test_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (args[1].shape[0], 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_frame_sharded_denoise_matches_unsharded(rng):
+    """Motion denoising with frames sharded over the mesh must match the
+    single-device solve (the temporal halo is handled by the partitioner)."""
+    from posendf_tpu.experiments import MotionDenoiser
+    from posendf_tpu.models import PoseNDF
+    from posendf_tpu.smpl import BodyModel, synthetic_model
+
+    module = PoseNDF(dfnet_dims=(32,), activation="softplus")
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    body = BodyModel(model=synthetic_model(num_vertices=64, seed=2))
+    noisy = jnp.asarray(rng.normal(scale=0.2, size=(16, 69)).astype(np.float32))
+
+    den = MotionDenoiser(module, params, body)
+    pose_ref, m_ref = den.optimize(noisy, iterations=1, steps_per_iter=4)
+    mesh = make_mesh(("data",))
+    pose_sh, m_sh = den.optimize(noisy, iterations=1, steps_per_iter=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
+                               atol=1e-4, rtol=1e-4)
+    assert abs(m_sh["final_pose_pr"] - m_ref["final_pose_pr"]) < 1e-5
