@@ -112,6 +112,26 @@ def cmd_generate(args):
         np.savez(args.out, pose=np.asarray(out), pose_init=np.asarray(noisy),
                  dist_history=np.asarray(hist))
         print(f"wrote {args.out}")
+    if args.save_mesh or args.render:
+        # mesh/render output like the reference projection script
+        # (sample_poses.py:59-62,79-82): SMPL forward on init + result poses
+        import os as _os
+
+        from posendf_tpu.experiments.render import render_meshes, save_meshes
+        from posendf_tpu.quat import quaternion_to_axis_angle
+        from posendf_tpu.smpl import BodyModel
+
+        bm = BodyModel(bm_path=args.bm_path) if args.bm_path else BodyModel()
+        out_dir = args.mesh_dir or "./generated"
+        _os.makedirs(out_dir, exist_ok=True)
+        for prefix, quats in (("init", noisy), ("out", out)):
+            aa = quaternion_to_axis_angle(quats).reshape(args.num_poses, 63)
+            res = bm(pose_body=aa)
+            if args.save_mesh:
+                save_meshes(out_dir, np.asarray(res.vertices), res.faces, prefix=prefix)
+            if args.render:
+                render_meshes(out_dir, np.asarray(res.vertices), res.faces, prefix=prefix)
+        print(f"wrote meshes/renders -> {out_dir}")
 
 
 def cmd_denoise(args):
@@ -184,6 +204,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-renorm", action="store_true",
                    help="reference-exact mode: skip per-step re-normalization")
     p.add_argument("--out", default=None, help="output .npz path")
+    p.add_argument("--save-mesh", action="store_true")
+    p.add_argument("--render", action="store_true")
+    p.add_argument("--mesh-dir", default=None)
+    p.add_argument("--bm-path", default=None, help="SMPL model file")
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("denoise", help="motion denoising with the field prior")

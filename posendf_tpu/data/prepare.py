@@ -214,6 +214,7 @@ def label_sequence(
     query_batch: int = 4096,
     rng: Optional[np.random.Generator] = None,
     spec: NoiseSpec = NoiseSpec(),
+    mesh=None,
 ) -> dict:
     """Label one sequence: noisy queries + their k nearest distances against
     the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
@@ -230,6 +231,16 @@ def label_sequence(
     queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
     corpus = jnp.asarray(corpus)
     N = corpus.shape[0]
+    query_sharding = None
+    if mesh is not None:
+        # shard queries over the data axis; the corpus is replicated — each
+        # chip scans it locally, no collectives (SURVEY.md §2.2)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        query_sharding = NamedSharding(mesh, P("data"))
+        n_dev = mesh.devices.size
+        query_batch = max(query_batch, n_dev) // n_dev * n_dev
     w = None
     if weighted:
         w = jnp.asarray(SMPL_JOINT_RANK) / jnp.linalg.norm(jnp.asarray(SMPL_JOINT_RANK))
@@ -237,6 +248,10 @@ def label_sequence(
     dists, idxs = [], []
     for start in range(0, len(queries), query_batch):
         q = jnp.asarray(queries[start:start + query_batch])
+        if query_sharding is not None and len(q) % mesh.devices.size == 0:
+            import jax
+
+            q = jax.device_put(q, query_sharding)
         if metric == "euc" or k_candidates and k_candidates < N:
             kc = k_candidates if (k_candidates and k_candidates < N) else N
             _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)

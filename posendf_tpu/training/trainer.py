@@ -93,7 +93,8 @@ class Trainer:
             shutil.copyfile(config_path, os.path.join(self.exp_dir, os.path.basename(config_path)))
         else:
             save_config(cfg, os.path.join(self.exp_dir, "config.yaml"))
-        self.store = CheckpointStore(os.path.join(self.exp_dir, "checkpoints"))
+        self.store = CheckpointStore(os.path.join(self.exp_dir, "checkpoints"),
+                                     backend=cfg.train.ckpt_backend)
         self.metrics = MetricsLogger(self.exp_dir)
 
         self.mesh = mesh

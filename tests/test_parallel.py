@@ -94,3 +94,18 @@ def test_frame_sharded_denoise_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(pose_sh), np.asarray(pose_ref),
                                atol=1e-4, rtol=1e-4)
     assert abs(m_sh["final_pose_pr"] - m_ref["final_pose_pr"]) < 1e-5
+
+
+def test_mesh_sharded_labeling_matches_single_device(rng):
+    from posendf_tpu.data.prepare import label_sequence
+    from posendf_tpu.data.synthetic import synthetic_manifold_poses
+
+    clean = synthetic_manifold_poses(rng, 32)
+    corpus = synthetic_manifold_poses(rng, 128)
+    ref = label_sequence(clean, corpus, num_queries=40, k=3,
+                         rng=np.random.default_rng(1))
+    mesh = make_mesh(("data",))
+    out = label_sequence(clean, corpus, num_queries=40, k=3,
+                         rng=np.random.default_rng(1), mesh=mesh)
+    np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
+    np.testing.assert_array_equal(out["pose"], ref["pose"])

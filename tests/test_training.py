@@ -122,3 +122,23 @@ def test_batcher_flip_canonicalizes_both_branches(dataset):
     batch = b.sample_batch()
     assert (batch["pose"][..., 0] >= 0).all()
     assert (batch["man_poses"][..., 0] >= 0).all()
+
+
+def test_orbax_checkpoint_backend(dataset, tmp_path):
+    labeled, amass = dataset
+    cfg = _small_cfg(tmp_path, labeled, amass)
+    cfg.train.ckpt_backend = "orbax"
+    batcher = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32, seed=4)
+    t1 = Trainer(cfg)
+    t1.train_epoch(iter([batcher.sample_batch()]))
+    t1.save()
+    t1.epoch += 1
+    t1.train_epoch(iter([batcher.sample_batch()]))
+    t1.save()
+    assert os.path.isdir(os.path.join(t1.exp_dir, "checkpoints", "latest"))
+    assert os.path.isdir(os.path.join(t1.exp_dir, "checkpoints", "previous"))
+    t2 = Trainer(cfg)
+    assert t2.epoch == t1.epoch + 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t1.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t2.params)[0]))
