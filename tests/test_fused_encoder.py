@@ -75,3 +75,46 @@ def test_model_flag_routes_through_fused(rng):
     with pltpu.force_tpu_interpret_mode():
         out = m_f.apply({"params": params}, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestFusedModel:
+    """Whole-model fused kernel (encoder + DFNet in one Pallas program)."""
+
+    def _setup(self, act="softplus", beta=1.0):
+        from posendf_tpu.config import PoseNDFConfig
+
+        cfg = PoseNDFConfig()
+        cfg.dfnet.act = cfg.strenc.act = act
+        cfg.dfnet.beta = cfg.strenc.beta = beta
+        cfg.dfnet.dims = [64, 128, 32]
+        m = cfg.make_model()
+        params = m.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+        return m, params
+
+    def test_matches_xla_model(self, rng):
+        from posendf_tpu.ops.fused_model import fused_posendf_forward
+
+        m, params = self._setup()
+        q = _poses(rng, 300)
+        ref = m.apply({"params": params}, q)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_posendf_forward(
+                q, params["enc"], params["dfnet"],
+                parents=kinematics.REFERENCE_PARENTS,
+                activation="softplus", beta=1.0, tile_b=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_custom_vjp_matches_xla(self, rng):
+        from posendf_tpu.ops.fused_model import fused_posendf_forward
+
+        m, params = self._setup()
+        q = _poses(rng, 64)
+
+        g_ref = jax.grad(lambda x: jnp.sum(m.apply({"params": params}, x)))(q)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(lambda x: jnp.sum(fused_posendf_forward(
+                x, params["enc"], params["dfnet"],
+                parents=kinematics.REFERENCE_PARENTS,
+                activation="softplus", beta=1.0, tile_b=128)))(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
