@@ -266,6 +266,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metric", choices=["geo", "euc"], default="geo")
     p.add_argument("--weighted", action="store_true",
                    help="joint-rank-weighted distance (dist_utils.py:39)")
+    p.add_argument("--space", choices=["quat", "joints"], default="quat",
+                   help="candidate-search embedding: raw quats or SMPL FK joints")
+    p.add_argument("--bm-path", default=None, help="SMPL model for --space joints")
     p.set_defaults(fn=cmd_prepare_data)
 
     return ap

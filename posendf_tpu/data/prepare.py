@@ -202,6 +202,21 @@ def sample_noisy_queries(
 # stage 3: device-side labeling
 # --------------------------------------------------------------------------
 
+def _fk_joint_embedding(quats: np.ndarray, body_model, batch: int = 8192) -> np.ndarray:
+    """(N, 21, 4) -> (N, 72) posed joint positions via SMPL forward
+    kinematics — the joint-space search embedding (the reference builds its
+    primary faiss index over SMPL joints, ``prepare_traindata.py:50-58``)."""
+    import jax.numpy as jnp
+
+    from posendf_tpu.quat import quaternion_to_axis_angle
+
+    outs = []
+    for s in range(0, len(quats), batch):
+        aa = quaternion_to_axis_angle(jnp.asarray(quats[s:s + batch]))
+        out = body_model(pose_body=aa.reshape(len(aa), 63))
+        outs.append(np.asarray(out.Jtr).reshape(len(aa), -1).astype(np.float32))
+    return np.concatenate(outs)
+
 def label_sequence(
     seq_quats: np.ndarray,     # clean poses of the sequence (for query sampling)
     corpus: "object",          # (N, 21, 4) jax array (possibly device-put once)
@@ -215,13 +230,23 @@ def label_sequence(
     rng: Optional[np.random.Generator] = None,
     spec: NoiseSpec = NoiseSpec(),
     mesh=None,
+    space: str = "quat",
+    body_model=None,
 ) -> dict:
     """Label one sequence: noisy queries + their k nearest distances against
     the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
     'euc' (per-joint L2, ``dist_utils.euc``); ``weighted`` uses the
     joint-rank weights (``dist_utils.py:16,39``). ``k_candidates > 0``
     selects the reference-shaped two-stage search (L2 candidates -> re-rank);
-    0 = exact single-stage geodesic top-k."""
+    0 = exact single-stage geodesic top-k.
+
+    ``space``: the candidate-search embedding. 'quat' searches raw 84-D
+    quaternions (reference ``faiss_idx_torch``, ``prepare_traindata.py:86-93``);
+    'joints' runs SMPL forward kinematics and searches posed joint positions
+    (reference ``faiss_idx_np``'s 75-D joint index, ``:50-58`` — here 72-D,
+    24 FK joints, since the 25th smplx vertex-joint is cosmetic), followed by
+    the exact geodesic re-rank either way. Requires ``body_model`` and
+    ``k_candidates > 0``."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
@@ -231,6 +256,14 @@ def label_sequence(
     queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
     corpus = jnp.asarray(corpus)
     N = corpus.shape[0]
+
+    corpus_emb = None
+    if space == "joints":
+        if body_model is None:
+            raise ValueError("space='joints' requires a body_model")
+        if not k_candidates:
+            raise ValueError("space='joints' is a two-stage search; set k_candidates")
+        corpus_emb = jnp.asarray(_fk_joint_embedding(np.asarray(corpus), body_model))
     query_sharding = None
     if mesh is not None:
         # shard queries over the data axis; the corpus is replicated — each
@@ -253,8 +286,12 @@ def label_sequence(
 
             q = jax.device_put(q, query_sharding)
         if metric == "euc" or k_candidates and k_candidates < N:
-            kc = k_candidates if (k_candidates and k_candidates < N) else N
-            _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)
+            kc = min(k_candidates, N) if k_candidates else N
+            if corpus_emb is not None:
+                q_emb = jnp.asarray(_fk_joint_embedding(np.asarray(q), body_model))
+                _, cand = l2_topk(q_emb, corpus_emb, k=kc)
+            else:
+                _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)
             rerank = euclidean_rerank if metric == "euc" else geodesic_rerank
             d, i = rerank(q, corpus, cand, k=k, weights=w)
         elif weighted:
@@ -282,6 +319,8 @@ def label_split(
     k_candidates: int = 0,
     metric: str = "geo",
     weighted: bool = False,
+    space: str = "quat",
+    body_model=None,
     seed: int = 0,
     skip_if_exists: bool = True,
 ) -> List[str]:
@@ -313,10 +352,19 @@ def label_split(
             seq_quats, corpus_dev,
             num_queries=num_queries * runs, k=k, k_candidates=k_candidates,
             metric=metric, weighted=weighted, rng=rng,
+            space=space, body_model=body_model,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
     return written
+
+
+def _maybe_body_model(bm_path, space):
+    if space != "joints":
+        return None
+    from posendf_tpu.smpl import BodyModel
+
+    return BodyModel(bm_path=bm_path) if bm_path else BodyModel()
 
 
 def run_cli(args) -> None:
@@ -334,5 +382,8 @@ def run_cli(args) -> None:
             k=args.k, k_candidates=args.k_candidates if args.k_candidates else 0,
             metric=getattr(args, "metric", "geo"),
             weighted=getattr(args, "weighted", False),
+            space=getattr(args, "space", "quat"),
+            body_model=_maybe_body_model(getattr(args, "bm_path", None),
+                                         getattr(args, "space", "quat")),
         )
         print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")

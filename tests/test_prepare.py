@@ -130,3 +130,24 @@ def test_labeled_output_feeds_training_batcher(raw_amass, tmp_path):
     batch = b.sample_batch()
     assert batch["pose"].shape == (32, 21, 4)
     assert (batch["dist"] >= 0).all()
+
+
+def test_label_sequence_joint_space(rng):
+    """Joint-space candidate search (the reference's primary faiss index)
+    followed by geodesic re-rank: with exhaustive candidates it must match
+    the exact quat-space geodesic search."""
+    from posendf_tpu.smpl import BodyModel, synthetic_model
+
+    clean = synthetic_manifold_poses(rng, 32)
+    corpus = synthetic_manifold_poses(rng, 100)
+    bm = BodyModel(model=synthetic_model(num_vertices=64, seed=3))
+    exact = label_sequence(clean, corpus, num_queries=20, k=4,
+                           rng=np.random.default_rng(5))
+    joints = label_sequence(clean, corpus, num_queries=20, k=4,
+                            k_candidates=100, space="joints", body_model=bm,
+                            rng=np.random.default_rng(5))
+    np.testing.assert_allclose(joints["dist"], exact["dist"], atol=1e-5)
+
+    with pytest.raises(ValueError):
+        label_sequence(clean, corpus, num_queries=5, k=2, space="joints",
+                       k_candidates=50, rng=np.random.default_rng(0))
