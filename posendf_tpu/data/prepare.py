@@ -17,12 +17,15 @@ Capability parity with the reference's three-stage pipeline:
     ``{pose, dist, nn_pose}``.
 
 TPU-native design: the kNN search + geodesic re-rank is one jitted program
-(``posendf_tpu.ops.knn``) over the whole query batch, sharded over a ``data``
-mesh axis; the quaternion corpus is replicated (100M floats fits HBM). The
-reference's two-stage faiss-then-rerank structure is kept as an option
-(``metric='geo_rerank'``), but the default is the EXACT single-stage geodesic
-top-k — affordable on the MXU, and it removes the candidate-set approximation
-entirely.
+(``posendf_tpu.ops.knn``) over the whole query batch, shardable over a
+``data`` mesh axis (``mesh=``); the quaternion corpus is replicated (100M
+floats fits HBM). The reference's two-stage search is kept as options
+(``k_candidates=500`` quat-space candidates, or ``space='joints'`` for its
+joint-position index), but the default is the EXACT single-stage geodesic
+top-k — affordable on the MXU, and it removes the candidate-set
+approximation entirely. Multi-host fan-out (the Slurm replacement) is
+``label_split(shard=(i, n))``: host i of n takes every n-th sequence,
+restart-safe via the per-sequence skip guard.
 """
 
 from __future__ import annotations
@@ -323,6 +326,7 @@ def label_split(
     body_model=None,
     seed: int = 0,
     skip_if_exists: bool = True,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> List[str]:
     """Label every sequence of a split against the split-wide corpus.
 
@@ -334,6 +338,9 @@ def label_split(
     import jax.numpy as jnp
 
     corpus, files = build_corpus(sampled_dir, subsets)
+    if shard is not None:
+        i, n = shard
+        files = files[i::n]
     corpus_dev = jnp.asarray(corpus)
     rng = np.random.default_rng(seed)
     written = []

@@ -38,6 +38,27 @@ __all__ = ["SMPLModel", "load_smpl_model", "synthetic_model", "lbs_forward"]
 NUM_JOINTS = 24
 
 
+class _StaticArray:
+    """Hashable wrapper for host-side arrays living in pytree aux data.
+
+    jit cache keys compare aux data with ``==`` / ``hash``; a bare ndarray
+    there makes two structurally-identical models raise "truth value of an
+    array is ambiguous" on the second trace.
+    """
+
+    __slots__ = ("arr", "_key")
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = np.asarray(arr)
+        self._key = (self.arr.shape, self.arr.dtype.str, self.arr.tobytes())
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticArray) and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class SMPLModel:
@@ -58,13 +79,13 @@ class SMPLModel:
     def tree_flatten(self):
         children = (self.v_template, self.shapedirs, self.posedirs,
                     self.j_regressor, self.lbs_weights)
-        aux = (self.faces, self.parents)
+        aux = (_StaticArray(self.faces), self.parents)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         faces, parents = aux
-        return cls(*children, faces=faces, parents=parents)
+        return cls(*children, faces=faces.arr, parents=parents)
 
 
 def load_smpl_model(path: str, num_betas: int = 10, dtype=jnp.float32) -> SMPLModel:

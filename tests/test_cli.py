@@ -1,0 +1,101 @@
+"""CLI smoke tests: every subcommand drives end-to-end on tiny settings."""
+
+import os
+
+import numpy as np
+import pytest
+
+from posendf_tpu.cli import main
+from posendf_tpu.data.synthetic import write_synthetic_dataset
+
+CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "configs", "amass.yaml")
+
+
+def test_generate(tmp_path, capsys):
+    out = str(tmp_path / "poses.npz")
+    main(["generate", "-c", CFG, "--num-poses", "3", "--steps", "2", "--out", out])
+    with np.load(out) as z:
+        assert z["pose"].shape == (3, 21, 4)
+        assert z["dist_history"].shape == (2, 3)
+    assert "projected 3 poses" in capsys.readouterr().out
+
+
+def test_generate_with_mesh_output(tmp_path):
+    mesh_dir = str(tmp_path / "meshes")
+    main(["generate", "-c", CFG, "--num-poses", "2", "--steps", "1",
+          "--save-mesh", "--mesh-dir", mesh_dir])
+    objs = os.listdir(os.path.join(mesh_dir, "meshes"))
+    assert len(objs) == 4  # init + out per pose
+
+
+def test_interpolate(tmp_path, capsys):
+    out = str(tmp_path / "path.npz")
+    main(["interpolate", "-c", CFG, "--num-steps", "4", "--out", out])
+    with np.load(out) as z:
+        assert z["path"].shape == (4, 21, 4)
+    assert "interpolated 4 steps" in capsys.readouterr().out
+
+
+def test_denoise(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    motion = str(tmp_path / "motion.npz")
+    np.savez(motion, pose_body=rng.normal(scale=0.2, size=(4, 63)).astype(np.float32))
+    out = str(tmp_path / "denoised.npz")
+    main(["denoise", "-c", CFG, "--motion-data", motion, "--out", out])
+    with np.load(out) as z:
+        assert z["pose_body"].shape == (4, 69)
+    assert "v2v_vs_input_cm" in capsys.readouterr().out
+
+
+def test_partial(tmp_path, capsys):
+    rng = np.random.default_rng(1)
+    motion = str(tmp_path / "motion.npz")
+    np.savez(motion, pose_body=rng.normal(scale=0.2, size=(8, 63)).astype(np.float32))
+    main(["partial", "-c", CFG, "--motion-data", motion, "--max-frames", "4"])
+    assert "final_pose_pr" in capsys.readouterr().out
+
+
+def test_fit_image(tmp_path, capsys):
+    rng = np.random.default_rng(2)
+    folder = tmp_path / "img"
+    folder.mkdir()
+    kpts = np.zeros((25, 3), np.float32)
+    kpts[:15, :2] = rng.normal(scale=100, size=(15, 2))
+    kpts[:15, 2] = 1.0
+    np.savez(folder / "kpts.npz", **{"0": kpts})
+    out = str(tmp_path / "fit.npz")
+    main(["fit-image", "-c", CFG, "--image-folder", str(folder), "--out", out])
+    with np.load(out) as z:
+        assert z["pose_body"].shape == (1, 69)
+    assert "stage2_final_data" in capsys.readouterr().out
+
+
+def test_prepare_data_and_train(tmp_path, capsys):
+    # raw AMASS-shaped fixture
+    rng = np.random.default_rng(3)
+    raw = tmp_path / "raw"
+    for subset in ("ACCAD",):
+        d = raw / subset / "s1"
+        d.mkdir(parents=True)
+        np.savez(d / "clip_poses.npz",
+                 poses=rng.normal(scale=0.3, size=(80, 156)).astype(np.float32))
+    out_dir = tmp_path / "prep"
+    main(["prepare-data", "-c", CFG, "--amass-raw", str(raw),
+          "--out-dir", str(out_dir), "--num-samples", "10", "--runs", "2",
+          "--k", "3", "--k-candidates", "0", "--split", "ACCAD"])
+    captured = capsys.readouterr().out
+    assert "stage 1" in captured and "stage 3" in captured
+    labeled = out_dir / "labeled" / "ACCAD"
+    assert len(os.listdir(labeled)) == 1
+
+
+def test_denoise_bench_synthesized(tmp_path, capsys):
+    root = str(tmp_path / "grid")
+    main(["denoise-bench", "-c", CFG, "--data-root", root, "--synthesize",
+          "--seqs-per-level", "1", "--iterations", "1", "--steps-per-iter", "2",
+          "--out", str(tmp_path / "table.npz")])
+    out = capsys.readouterr().out
+    assert "mean v2v" in out
+    with np.load(tmp_path / "table.npz") as z:
+        assert len(z.files) == 4  # the four grid levels
