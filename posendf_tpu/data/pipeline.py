@@ -91,6 +91,7 @@ class TrainingBatcher:
         self.batch_size = batch_size
         self.num_pts = num_pts
         self.flip = flip
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._cache: Dict[str, Dict[str, np.ndarray]] = {}
         self._cache_lock = threading.Lock()
@@ -190,8 +191,9 @@ class TrainingBatcher:
         return {"pose": pose, "dist": dist, "man_poses": man}
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Deterministic per-epoch stream of len(self) batches."""
-        rng = np.random.default_rng(np.random.SeedSequence([hash(id(self)) & 0xFFFF, epoch_idx]))
+        """Deterministic per-epoch stream of len(self) batches (reproducible
+        across process restarts: keyed on (seed, epoch) only)."""
+        rng = np.random.default_rng(np.random.SeedSequence([self._seed, epoch_idx]))
         for _ in range(len(self)):
             yield self.sample_batch(rng)
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from posendf_tpu.experiments.optim import AnnealSpec, run_annealed_adam
+from posendf_tpu.experiments.optim import AnnealSpec, make_annealed_solver
 from posendf_tpu.quat import axis_angle_to_quaternion
 from posendf_tpu.smpl import BodyModel
 from posendf_tpu.smpl.lbs import lbs_forward
@@ -56,6 +56,33 @@ class MotionDenoiser:
         self.params = params
         self.body_model = body_model
         self.specs = specs or DENOISE_SPECS
+        # jitted solvers cached by (iterations, steps_per_iter): sequence
+        # data flows through the aux pytree, so a benchmark sweep over many
+        # clips of one shape compiles the solve exactly once
+        self._solvers = {}
+
+    def _solver(self, iterations: int, steps_per_iter: int):
+        key = (iterations, steps_per_iter)
+        if key not in self._solvers:
+            module = self.module
+
+            def loss_terms(pose_body, aux):
+                B = pose_body.shape[0]
+                quat = axis_angle_to_quaternion(pose_body.reshape(B, 23, 3)[:, :21])
+                dist = module.apply({"params": aux["params"]}, quat)
+                verts, joints = lbs_forward(
+                    aux["smpl"], aux["betas"],
+                    jnp.zeros((B, 3), pose_body.dtype), pose_body)
+                temp = jnp.mean(jnp.sqrt(jnp.sum(
+                    (verts[:-1] - verts[1:]) ** 2, axis=-1) + 1e-12))
+                data = jnp.mean(jnp.sqrt(jnp.sum(
+                    (joints - aux["init_joints"]) ** 2, axis=-1) + 1e-12))
+                return {"pose_pr": jnp.mean(dist), "temp": temp, "data": data}
+
+            self._solvers[key] = make_annealed_solver(
+                loss_terms, self.specs,
+                iterations=iterations, steps_per_iter=steps_per_iter, lr=0.02)
+        return self._solvers[key]
 
     def optimize(
         self,
@@ -89,24 +116,15 @@ class MotionDenoiser:
             pose0 = jax.device_put(pose0, frame_sharding)
             betas_arr = jax.device_put(betas_arr, frame_sharding)
             init_joints = jax.device_put(init_joints, frame_sharding)
-        smpl_model = self.body_model.model
-        module, params = self.module, self.params
 
-        def loss_terms(pose_body):
-            quat = axis_angle_to_quaternion(pose_body.reshape(B, 23, 3)[:, :21])
-            dist = module.apply({"params": params}, quat)
-            verts, joints = lbs_forward(
-                smpl_model, betas_arr, jnp.zeros((B, 3), pose_body.dtype), pose_body)
-            temp = jnp.mean(jnp.sqrt(jnp.sum(
-                (verts[:-1] - verts[1:]) ** 2, axis=-1) + 1e-12))
-            data = jnp.mean(jnp.sqrt(jnp.sum(
-                (joints - init_joints) ** 2, axis=-1) + 1e-12))
-            return {"pose_pr": jnp.mean(dist), "temp": temp, "data": data}
-
-        final_pose, history = run_annealed_adam(
-            loss_terms, pose0, self.specs,
-            iterations=iterations, steps_per_iter=steps_per_iter,
-        )
+        aux = {
+            "params": self.params,
+            "smpl": self.body_model.model,
+            "betas": betas_arr,
+            "init_joints": init_joints,
+        }
+        solve = self._solver(iterations, steps_per_iter)
+        final_pose, history = solve(pose0, aux)
 
         out = self.body_model(pose_body=final_pose, betas=betas)
         metrics = {

@@ -17,6 +17,11 @@ The eikonal term needs grad-of-grad: computed with one ``jax.vjp`` inside the
 loss, differentiated again by the outer ``jax.grad`` over params. XLA shares
 the forward between the value and the pullback, so the step costs ~3 dfnet
 passes, not 4+.
+
+Deliberate divergence: the reference silently DROPS the manifold term from
+the optimized loss whenever eikonal == 0 (``model/posendf.py:97-99`` returns
+only {'dist'} in that branch); here the weighted sum always includes every
+term — set ``weight_man=0`` explicitly to ablate it.
 """
 
 from __future__ import annotations
