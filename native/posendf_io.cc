@@ -122,19 +122,23 @@ NpzFile* open_npz(const char* path) {
     const char* p = f->base + off;
     if (rd32(p) != 0x04034b50u) break;  // not a local header -> central dir
     const uint16_t method = rd16(p + 8);
-    uint32_t comp_size = rd32(p + 18);
+    uint64_t comp_size = rd32(p + 18);
     const uint16_t name_len = rd16(p + 26);
     const uint16_t extra_len = rd16(p + 28);
     std::string name(p + 30, name_len);
     const char* payload = p + 30 + name_len + extra_len;
-    // zip64: sizes in the extra field
-    if (comp_size == 0xFFFFFFFFu) {
+    // zip64: full 64-bit sizes live in the 0x0001 extra field (layout:
+    // uncompressed size @ +4, compressed size @ +12)
+    if (comp_size == 0xFFFFFFFFull) {
       const char* e = p + 30 + name_len;
       const char* eend = e + extra_len;
       while (e + 4 <= eend) {
         uint16_t id = rd16(e), sz = rd16(e + 2);
-        if (id == 0x0001 && sz >= 16) { comp_size = static_cast<uint32_t>(
-            *reinterpret_cast<const uint64_t*>(e + 12)); }
+        if (id == 0x0001 && sz >= 16) {
+          uint64_t v;
+          std::memcpy(&v, e + 12, 8);
+          comp_size = v;
+        }
         e += 4 + sz;
       }
     }

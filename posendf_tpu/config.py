@@ -155,6 +155,10 @@ def config_from_dict(raw: Dict[str, Any]) -> PoseNDFConfig:
     dfnet = _take(model.get("DFNet", raw.get("dfnet", {})), DFNetConfig, {})
     strenc = _take(model.get("StrEnc", raw.get("strenc", {})), StrEncConfig, {})
     train = _take(raw.get("train", {}), TrainConfig, {})
+    # the reference puts the quat-flip switch under data: (its pretrained
+    # 'flip_*' experiments set data.flip); honor it when train.flip is unset
+    if "flip" in data.extra and "flip" not in raw.get("train", {}):
+        train.flip = bool(data.extra["flip"])
     return PoseNDFConfig(data=data, experiment=exp, dfnet=dfnet, strenc=strenc, train=train)
 
 

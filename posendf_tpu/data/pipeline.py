@@ -19,6 +19,7 @@ receives only its slice.
 
 from __future__ import annotations
 
+import collections
 import glob
 import os
 import queue
@@ -93,7 +94,11 @@ class TrainingBatcher:
         self.flip = flip
         self._seed = seed
         self._rng = np.random.default_rng(seed)
-        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
+        # bounded LRU over decoded files — AMASS-scale datasets (~3000 files,
+        # tens of MB each) would otherwise grow host RSS without limit
+        self.max_cached_files = 32
+        self._cache: "collections.OrderedDict[str, Dict[str, np.ndarray]]" = (
+            collections.OrderedDict())
         self._cache_lock = threading.Lock()
 
         # native C++ loader (mmap'd npz + threaded gather); see data/native.py
@@ -105,7 +110,11 @@ class TrainingBatcher:
                 if not _native.build():
                     raise RuntimeError("native backend requested but build failed")
             self._native = _native
-            self._native_handles: Dict[str, "_native.NativeNpz"] = {}
+            # bounded pool of open mmaps (one fd each) — LRU-evicted so long
+            # runs over thousands of files never exhaust ulimit -n
+            self.max_native_handles = 256
+            self._native_handles: "collections.OrderedDict[str, _native.NativeNpz]" = (
+                collections.OrderedDict())
             self.backend = "native"
         else:
             self._native = None
@@ -116,6 +125,11 @@ class TrainingBatcher:
         if h is None:
             h = self._native.NativeNpz(path)
             self._native_handles[path] = h
+            while len(self._native_handles) > self.max_native_handles:
+                _, old = self._native_handles.popitem(last=False)
+                old.close()
+        else:
+            self._native_handles.move_to_end(path)
         return h
 
     def __len__(self) -> int:
@@ -125,12 +139,16 @@ class TrainingBatcher:
     def _load(self, path: str, keys: Sequence[str]) -> Dict[str, np.ndarray]:
         with self._cache_lock:
             hit = self._cache.get(path)
-        if hit is not None:
-            return hit
+            if hit is not None:
+                self._cache.move_to_end(path)
+                return hit
         with np.load(path) as z:
             data = {k: np.asarray(z[k]) for k in keys if k in z}
         with self._cache_lock:
             self._cache[path] = data
+            self._cache.move_to_end(path)
+            while len(self._cache) > self.max_cached_files:
+                self._cache.popitem(last=False)
         return data
 
     def sample_batch(self, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
@@ -209,6 +227,7 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+    failure = []
 
     def worker():
         try:
@@ -220,6 +239,8 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
                 q.put(batch)
+        except BaseException as e:  # propagate to the consumer, don't swallow
+            failure.append(e)
         finally:
             q.put(stop)
 
@@ -228,5 +249,7 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
     while True:
         item = q.get()
         if item is stop:
+            if failure:
+                raise failure[0]
             break
         yield item

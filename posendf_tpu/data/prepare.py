@@ -288,8 +288,11 @@ def label_sequence(
             import jax
 
             q = jax.device_put(q, query_sharding)
-        if metric == "euc" or k_candidates and k_candidates < N:
-            kc = min(k_candidates, N) if k_candidates else N
+        if metric == "euc" or (k_candidates and k_candidates < N):
+            # two-stage search; the euc metric is only meaningful as a
+            # re-rank, so it gets the reference's default candidate width
+            # when none is specified (faiss k=500, prepare_traindata.py:45)
+            kc = min(k_candidates if k_candidates else 500, N)
             if corpus_emb is not None:
                 q_emb = jnp.asarray(_fk_joint_embedding(np.asarray(q), body_model))
                 _, cand = l2_topk(q_emb, corpus_emb, k=kc)
@@ -297,12 +300,9 @@ def label_sequence(
                 _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)
             rerank = euclidean_rerank if metric == "euc" else geodesic_rerank
             d, i = rerank(q, corpus, cand, k=k, weights=w)
-        elif weighted:
-            _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1),
-                              k=min(max(64, 4 * k), N))
-            d, i = geodesic_rerank(q, corpus, cand, k=k, weights=w)
         else:
-            d, i = geodesic_topk(q, corpus, k=k)
+            # exact single-stage geodesic top-k (weighted or not)
+            d, i = geodesic_topk(q, corpus, k=k, weights=w)
         dists.append(np.asarray(d))
         idxs.append(np.asarray(i))
     dist = np.concatenate(dists)

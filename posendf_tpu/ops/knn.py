@@ -131,6 +131,7 @@ def geodesic_topk(
     corpus_quats: jax.Array,  # (N, J, 4)
     k: int,
     corpus_tile: int = 8192,
+    weights: jax.Array | None = None,  # optional (J,) joint weights
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact geodesic top-k over the WHOLE corpus — no candidate pre-filter.
 
@@ -153,7 +154,11 @@ def geodesic_topk(
         tile, t_idx = inp                               # (T, J, 4)
         dots = jnp.einsum("qjd,njd->qnj", query_quats, tile,
                           preferred_element_type=jnp.float32)
-        geo = jnp.mean(1.0 - jnp.abs(dots), axis=-1)    # (Q, T)
+        per_joint = 1.0 - jnp.abs(dots)
+        if weights is not None:
+            geo = jnp.einsum("qnj,j->qn", per_joint, weights)
+        else:
+            geo = jnp.mean(per_joint, axis=-1)          # (Q, T)
         base = t_idx * corpus_tile
         col = base + jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
         geo = jnp.where(col < N, geo, big)

@@ -137,10 +137,9 @@ def synthetic_model(num_vertices: int = 128, num_betas: int = 10, seed: int = 0)
     """Small structured stand-in for tests: joints on a plausible skeleton,
     vertices clustered around joints with soft weights."""
     rng = np.random.default_rng(seed)
-    # skeleton joint rest positions: rough humanoid layout
-    j_rest = rng.normal(scale=0.05, size=(NUM_JOINTS, 3))
-    heights = np.linspace(0, 1.4, NUM_JOINTS)
-    j_rest[:, 1] += heights[np.argsort(np.argsort(range(NUM_JOINTS)))]
+    # skeleton rest positions: random bone offsets chained down the tree
+    j_rest = np.zeros((NUM_JOINTS, 3))
+    j_rest[0] = rng.normal(scale=0.05, size=3)
     for j in range(1, NUM_JOINTS):
         j_rest[j] = j_rest[SMPL_FULL_PARENTS[j]] + rng.normal(scale=0.15, size=3)
 

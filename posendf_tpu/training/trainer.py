@@ -24,6 +24,7 @@ from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -138,16 +139,27 @@ class Trainer:
         return metrics
 
     def train_epoch(self, batches: Iterator[Dict[str, Any]]) -> Dict[str, float]:
-        """One epoch; returns averaged metrics (+ throughput)."""
-        avg = {k: RunningAverage() for k in ("total", "dist", "man_loss", "eikonal")}
+        """One epoch; returns averaged metrics (+ throughput).
+
+        Per-step metrics stay on device (forcing a scalar readback each step
+        would block the async dispatch pipeline for a full relay RTT); the
+        epoch's values are pulled back once at the end.
+        """
+        keys = ("total", "dist", "man_loss", "eikonal")
+        avg = {k: RunningAverage() for k in keys}
+        step_metrics = []
         n_poses = 0
         t0 = time.time()
-        last = {}
         for batch in batches:
             n_poses += batch["pose"].shape[0]
-            last = self.train_step(batch)
-            for k, meter in avg.items():
-                meter.update(float(last[k]))
+            step_metrics.append(self.train_step(batch))
+        if step_metrics:
+            # one sync: stack on device, read back the whole epoch at once
+            stacked = {k: jnp.stack([m[k] for m in step_metrics]) for k in keys}
+            host = jax.device_get(stacked)
+            for k in keys:
+                for v in np.asarray(host[k]):
+                    avg[k].update(float(v))
         dt = max(time.time() - t0, 1e-9)
         out = {k: m.avg for k, m in avg.items()}
         out["poses_per_sec"] = n_poses / dt

@@ -118,3 +118,51 @@ def test_labeler_metric_variants(rng):
                              rng=np.random.default_rng(0), **kwargs)
         assert lab["dist"].shape == (10, 3)
         assert (np.diff(lab["dist"], axis=1) >= -1e-6).all()
+
+
+def test_weighted_exact_geodesic_topk(rng):
+    """weighted=True with k_candidates=0 must be an EXACT weighted search."""
+    from posendf_tpu.ops import geodesic_topk
+    from posendf_tpu.quat import SMPL_JOINT_RANK
+    import jax.numpy as jnp
+
+    q = rng.normal(size=(5, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    c = rng.normal(size=(120, 21, 4)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=-1, keepdims=True)
+    w = np.asarray(SMPL_JOINT_RANK)
+    w = (w / np.linalg.norm(w)).astype(np.float32)
+    d, i = geodesic_topk(jnp.asarray(q), jnp.asarray(c), k=4,
+                         corpus_tile=128, weights=jnp.asarray(w))
+    dots = (q[:, None] * c[None]).sum(-1)
+    geo = (w * (1 - np.abs(dots))).sum(-1)
+    ref = np.sort(geo, axis=1)[:, :4]
+    np.testing.assert_allclose(np.asarray(d), ref, atol=1e-5)
+
+
+def test_reference_config_data_flip_honored(tmp_path):
+    """Reference schema puts the flip switch under data: — it must reach
+    train.flip (the pretrained flip_* experiments depend on it)."""
+    import yaml
+
+    from posendf_tpu.config import load_config
+
+    raw = {"data": {"flip": True}, "train": {"batch_size": 2}}
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(raw))
+    cfg = load_config(str(p))
+    assert cfg.train.flip is True
+    assert cfg.exp_name().startswith("flip_")
+
+
+def test_prefetch_propagates_worker_errors():
+    from posendf_tpu.data.pipeline import prefetch_to_device
+
+    def bad_iterator():
+        yield {"x": np.zeros(3, np.float32)}
+        raise RuntimeError("corrupt file mid-epoch")
+
+    stream = prefetch_to_device(bad_iterator())
+    next(stream)
+    with pytest.raises(RuntimeError, match="corrupt file"):
+        list(stream)
