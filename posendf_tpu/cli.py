@@ -230,6 +230,8 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--num-steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pose-a", default=None, help=".npz endpoint (pose or pose_body)")
+    p.add_argument("--pose-b", default=None, help=".npz endpoint (pose or pose_body)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_interpolate)
 

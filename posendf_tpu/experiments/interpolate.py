@@ -40,15 +40,33 @@ def interpolate(
     return projected, dist
 
 
+def _load_endpoint(path: str) -> jax.Array:
+    """Load one pose from an .npz: accepts 'pose' (21, 4) quats or
+    'pose_body' (63,) axis-angle (first frame of either)."""
+    from posendf_tpu.quat import axis_angle_to_quaternion
+
+    with np.load(path) as z:
+        if "pose" in z:
+            arr = np.asarray(z["pose"], np.float32)
+            q = arr.reshape(-1, 21, 4)[0]
+            return jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True))
+        arr = np.asarray(z["pose_body"], np.float32).reshape(-1)[:63]
+        return axis_angle_to_quaternion(jnp.asarray(arr.reshape(21, 3)))
+
+
 def run_cli(args) -> None:
     from posendf_tpu.cli import _load, _load_params
 
     cfg = _load(args)
     module, params = _load_params(cfg, args.ckpt)
-    key = jax.random.key(args.seed)
-    ka, kb = jax.random.split(key)
-    pose_a = random_poses(ka, 1)[0]
-    pose_b = random_poses(kb, 1)[0]
+    if args.pose_a and args.pose_b:
+        pose_a = _load_endpoint(args.pose_a)
+        pose_b = _load_endpoint(args.pose_b)
+    else:
+        key = jax.random.key(args.seed)
+        ka, kb = jax.random.split(key)
+        pose_a = random_poses(ka, 1)[0]
+        pose_b = random_poses(kb, 1)[0]
     path, dist = interpolate(module, params, pose_a, pose_b, num_steps=args.num_steps)
     print(f"interpolated {args.num_steps} steps; field distance per waypoint:")
     print(" ".join(f"{float(d):.5f}" for d in dist))

@@ -114,3 +114,64 @@ def test_torch_export_roundtrip(rng):
             ref = t2(torch.from_numpy(pose)).numpy()
         ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(pose)))
         np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_training_loss_and_grad_parity(rng):
+    """The full training objective (L1 + manifold + eikonal with
+    grad-through-grad) must match a torch implementation of the reference's
+    loss (model/posendf.py:62-99) in value AND parameter gradients."""
+    from posendf_tpu.losses import training_loss
+
+    tmodel, jmodel, params = _make_pair(act="softplus", seed=11)
+    B = 16
+    pose = rng.normal(size=(B, 21, 4)).astype(np.float32)
+    pose /= np.linalg.norm(pose, axis=-1, keepdims=True)
+    man = rng.normal(size=(B, 21, 4)).astype(np.float32)
+    man /= np.linalg.norm(man, axis=-1, keepdims=True)
+    dist_gt = np.abs(rng.normal(size=B)).astype(np.float32)
+
+    # --- torch: reference loss formulation
+    tp = torch.from_numpy(pose.copy()).requires_grad_(True)
+    pred = tmodel(tp)
+    loss_dist = torch.nn.functional.l1_loss(pred[:, 0], torch.from_numpy(dist_gt))
+    dist_man = tmodel(torch.from_numpy(man), normalize_input=False)
+    loss_man = dist_man.abs().mean()
+    (g,) = torch.autograd.grad(pred, tp, grad_outputs=torch.ones_like(pred),
+                               create_graph=True)
+    loss_eik = ((g.norm(2, dim=-1) - 1.0) ** 2).mean()
+    total_t = loss_dist + loss_man + loss_eik
+    total_t.backward()
+    ref_grad_w0 = tmodel.dfnet.lin0.weight.grad.numpy()
+
+    # --- jax
+    def loss_fn(p):
+        return training_loss(jmodel, p, jnp.asarray(pose), jnp.asarray(dist_gt),
+                             jnp.asarray(man))[0]
+
+    total_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(total_j), float(total_t), atol=1e-5, rtol=1e-5)
+    # dfnet.w0 is stored (in, out) = torch weight.T
+    np.testing.assert_allclose(np.asarray(grads["dfnet"]["w0"]).T, ref_grad_w0,
+                               atol=1e-5, rtol=1e-3)
+
+
+def test_projection_loop_parity_no_renorm(rng):
+    """The reference-exact projection mode (q <- q - d * grad d, NO renorm,
+    sample_poses.py:70-74) must track a torch implementation step for step."""
+    from posendf_tpu.projection import project
+
+    tmodel, jmodel, params = _make_pair(act="softplus", seed=13)
+    pose = rng.normal(size=(6, 21, 4)).astype(np.float32)
+    pose /= np.linalg.norm(pose, axis=-1, keepdims=True)
+
+    q_t = torch.from_numpy(pose.copy())
+    for _ in range(5):
+        q_t = q_t.detach().requires_grad_(True)
+        d = tmodel(q_t)
+        (g,) = torch.autograd.grad(d, q_t, grad_outputs=torch.ones_like(d))
+        q_t = q_t - (d[:, :, None] * g.reshape(-1, 21, 4))
+
+    out, hist = project(jmodel, params, jnp.asarray(pose), steps=5,
+                        renormalize=False)
+    np.testing.assert_allclose(np.asarray(out), q_t.detach().numpy(),
+                               atol=1e-4, rtol=1e-3)
