@@ -107,6 +107,42 @@ def main():
     float(proj_jit())  # compile
     proj_s = timed(proj_jit)
 
+    # ---------- training step throughput (reference config: 20k poses) ----
+    train_ms = None
+    try:
+        from posendf_tpu.training.trainer import make_optimizer, make_train_step
+
+        opt = make_optimizer(cfg.train.optimizer_param, cfg.train.weight_decay)
+        tstep = make_train_step(module, opt, loss_type="l1",
+                                weights={"dist": 1.0, "man_loss": 1.0,
+                                         "eikonal": 1.0})
+        tb = 20_000
+        tbatch = {
+            "pose": pose[:tb],
+            "dist": jnp.abs(jax.random.normal(jax.random.key(1), (tb,))),
+            "man_poses": pose[:tb],
+        }
+        tparams = params
+        topt = opt.init(tparams)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def train_loop(p, s, batch, n):
+            def body(i, carry):
+                p, s = carry
+                p, s, _ = tstep(p, s, batch)
+                return (p, s)
+
+            p, s = jax.lax.fori_loop(0, n, body, (p, s))
+            return jnp.sum(jax.tree_util.tree_leaves(p)[0])
+
+        float(train_loop(tparams, topt, tbatch, 2))
+        float(train_loop(tparams, topt, tbatch, 12))
+        t_lo = timed(lambda: train_loop(tparams, topt, tbatch, 2))
+        t_hi = timed(lambda: train_loop(tparams, topt, tbatch, 12))
+        train_ms = (t_hi - t_lo) / 10 * 1e3
+    except Exception:
+        train_ms = None
+
     target = 1_000_000.0
     print(json.dumps({
         "metric": "ndf_fwd_evals_per_sec_per_chip",
@@ -120,6 +156,7 @@ def main():
             "batch": B,
             "fused_encoder": fused_ok,
             "per_fwd_iter_ms": round(per_iter * 1e3, 4),
+            "train_step_20k_ms": round(train_ms, 3) if train_ms else None,
         },
     }))
 
