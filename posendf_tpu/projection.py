@@ -38,7 +38,7 @@ def random_poses(key: jax.Array, batch: int, num_joints: int = 21) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("module", "steps", "renormalize", "step_scale"),
+    static_argnames=("module", "steps", "renormalize", "step_scale", "tangent"),
 )
 def project(
     module,
@@ -47,6 +47,7 @@ def project(
     steps: int = 10,
     renormalize: bool = True,
     step_scale: float = 1.0,
+    tangent: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Project poses onto the learned manifold.
 
@@ -57,6 +58,10 @@ def project(
       steps: number of descent steps (static).
       renormalize: re-normalize each joint quaternion after every step.
       step_scale: multiplier on the d * grad step.
+      tangent: project the gradient onto the tangent space of each joint's
+        S^3 before stepping (removes the radial component the reference's
+        ambient-space step wastes on leaving the sphere) — Riemannian
+        gradient descent on (S^3)^21 instead of step-then-retract.
 
     Returns:
       (projected_poses (B, 21, 4), distance_history (steps, B)) — the history
@@ -70,6 +75,10 @@ def project(
     def step(q, _):
         d, pullback = jax.vjp(dist_fn, q)
         (g,) = pullback(jnp.ones_like(d))
+        if tangent:
+            # remove the component of g along q (per joint): g_tan = g - <g,q> q
+            radial = jnp.sum(g * q, axis=-1, keepdims=True)
+            g = g - radial * q
         q_new = q - step_scale * d[:, :, None] * g  # (B,1,1) * (B,21,4)
         if renormalize:
             q_new = quat_normalize(q_new)

@@ -36,6 +36,8 @@ __all__ = [
     "weighted_quat_geodesic_distance",
     "quat_slerp",
     "joint_axis_normalize",
+    "matrix_to_rotation_6d",
+    "rotation_6d_to_matrix",
     "SMPL_JOINT_RANK",
 ]
 
@@ -172,6 +174,27 @@ def matrix_to_quaternion(m: jax.Array) -> jax.Array:
     return jnp.take_along_axis(
         quat_candidates, best[..., None, None].astype(jnp.int32), axis=-2
     )[..., 0, :]
+
+
+def matrix_to_rotation_6d(m: jax.Array) -> jax.Array:
+    """Rotation matrix (..., 3, 3) -> 6D representation (..., 6): the first
+    two ROWS flattened (Zhou et al. CVPR'19, pytorch3d convention — part of
+    the conversion surface the reference consumes, ``model/load_data.py:7``)."""
+    m = jnp.asarray(m)
+    return m[..., :2, :].reshape(m.shape[:-2] + (6,))
+
+
+def rotation_6d_to_matrix(d6: jax.Array) -> jax.Array:
+    """6D representation (..., 6) -> rotation matrix (..., 3, 3) via
+    Gram-Schmidt (pytorch3d.rotation_6d_to_matrix semantics)."""
+    d6 = jnp.asarray(d6)
+    a1 = d6[..., :3]
+    a2 = d6[..., 3:]
+    b1 = a1 / jnp.sqrt(jnp.maximum(jnp.sum(a1 * a1, -1, keepdims=True), 1e-24))
+    a2 = a2 - jnp.sum(b1 * a2, -1, keepdims=True) * b1
+    b2 = a2 / jnp.sqrt(jnp.maximum(jnp.sum(a2 * a2, -1, keepdims=True), 1e-24))
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
 
 
 def quat_flip(q: jax.Array) -> jax.Array:

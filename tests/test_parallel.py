@@ -109,3 +109,18 @@ def test_mesh_sharded_labeling_matches_single_device(rng):
                          rng=np.random.default_rng(1), mesh=mesh)
     np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
     np.testing.assert_array_equal(out["pose"], ref["pose"])
+
+
+def test_sharded_projection_matches_single_device(rng):
+    from posendf_tpu.models import PoseNDF
+    from posendf_tpu.projection import project
+
+    mesh = make_mesh(("data",))
+    module = PoseNDF(dfnet_dims=(32,), activation="softplus")
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    poses = rng.normal(size=(64, 21, 4)).astype(np.float32)
+    poses /= np.linalg.norm(poses, axis=-1, keepdims=True)
+    ref, ref_hist = project(module, params, jnp.asarray(poses), steps=5)
+    sharded = jax.device_put(jnp.asarray(poses), data_sharding(mesh))
+    out, hist = project(module, params, sharded, steps=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -115,3 +115,12 @@ def test_slerp_endpoints_and_midpoint():
     mid = np.asarray(quat.quat_slerp(q0, q1, 0.5))[0]
     expected = np.array([np.cos(np.pi / 8), 0, 0, np.sin(np.pi / 8)])
     np.testing.assert_allclose(mid, expected, atol=1e-6)
+
+
+def test_rotation_6d_roundtrip(rng):
+    aa = rng.normal(size=(32, 3)).astype(np.float32)
+    m = quat.axis_angle_to_matrix(jnp.asarray(aa))
+    d6 = quat.matrix_to_rotation_6d(m)
+    assert d6.shape == (32, 6)
+    back = quat.rotation_6d_to_matrix(d6)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(m), atol=1e-5)
