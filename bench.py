@@ -107,6 +107,32 @@ def main():
     float(proj_jit())  # compile
     proj_s = timed(proj_jit)
 
+    # ---------- bf16 fast path (compute_dtype=bfloat16, 262k batch) --------
+    bf16_evals = None
+    try:
+        cfg_bf16 = PoseNDFConfig()
+        cfg_bf16.strenc.fused = fused_ok
+        cfg_bf16.dfnet.compute_dtype = "bfloat16"
+        module_bf16 = cfg_bf16.make_model()
+        B2 = 1 << 18
+        pose2 = jnp.concatenate([pose, pose])[:B2]
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def bf16_loop(params, pose, iters):
+            def body(i, acc):
+                d = module_bf16.apply({"params": params}, pose + acc * 0)
+                return acc + jnp.sum(d)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(bf16_loop(params, pose2, lo))
+        float(bf16_loop(params, pose2, hi))
+        t_lo2 = timed(lambda: bf16_loop(params, pose2, lo))
+        t_hi2 = timed(lambda: bf16_loop(params, pose2, hi))
+        bf16_evals = B2 / ((t_hi2 - t_lo2) / (hi - lo))
+    except Exception:
+        bf16_evals = None
+
     # ---------- training step throughput (reference config: 20k poses) ----
     train_ms = None
     try:
@@ -157,6 +183,7 @@ def main():
             "fused_encoder": fused_ok,
             "per_fwd_iter_ms": round(per_iter * 1e3, 4),
             "train_step_20k_ms": round(train_ms, 3) if train_ms else None,
+            "bf16_evals_per_sec": round(bf16_evals, 1) if bf16_evals else None,
         },
     }))
 

@@ -248,12 +248,13 @@ def label_sequence(
     'joints' runs SMPL forward kinematics and searches posed joint positions
     (reference ``faiss_idx_np``'s 75-D joint index, ``:50-58`` — here 72-D,
     24 FK joints, since the 25th smplx vertex-joint is cosmetic), followed by
-    the exact geodesic re-rank either way. Requires ``body_model`` and
-    ``k_candidates > 0``."""
+    the exact metric re-rank either way. Requires ``body_model``; uses the
+    reference's 500-wide candidate set when ``k_candidates`` is 0."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
-        euclidean_rerank, geodesic_rerank, geodesic_topk, l2_topk)
+        euclidean_rerank, euclidean_topk, geodesic_rerank, geodesic_topk,
+        l2_topk)
     from posendf_tpu.quat import SMPL_JOINT_RANK
 
     queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
@@ -264,8 +265,6 @@ def label_sequence(
     if space == "joints":
         if body_model is None:
             raise ValueError("space='joints' requires a body_model")
-        if not k_candidates:
-            raise ValueError("space='joints' is a two-stage search; set k_candidates")
         corpus_emb = jnp.asarray(_fk_joint_embedding(np.asarray(corpus), body_model))
     query_sharding = None
     if mesh is not None:
@@ -288,10 +287,10 @@ def label_sequence(
             import jax
 
             q = jax.device_put(q, query_sharding)
-        if metric == "euc" or (k_candidates and k_candidates < N):
-            # two-stage search; the euc metric is only meaningful as a
-            # re-rank, so it gets the reference's default candidate width
-            # when none is specified (faiss k=500, prepare_traindata.py:45)
+        if corpus_emb is not None or k_candidates:
+            # two-stage search: candidates in the requested embedding, then
+            # the exact metric re-rank (reference default width: faiss k=500,
+            # prepare_traindata.py:45)
             kc = min(k_candidates if k_candidates else 500, N)
             if corpus_emb is not None:
                 q_emb = jnp.asarray(_fk_joint_embedding(np.asarray(q), body_model))
@@ -300,6 +299,9 @@ def label_sequence(
                 _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)
             rerank = euclidean_rerank if metric == "euc" else geodesic_rerank
             d, i = rerank(q, corpus, cand, k=k, weights=w)
+        elif metric == "euc":
+            # exact single-stage per-joint-L2 top-k (streamed, no candidates)
+            d, i = euclidean_topk(q, corpus, k=k, weights=w)
         else:
             # exact single-stage geodesic top-k (weighted or not)
             d, i = geodesic_topk(q, corpus, k=k, weights=w)
@@ -369,9 +371,13 @@ def label_split(
 def _maybe_body_model(bm_path, space):
     if space != "joints":
         return None
+    if not bm_path:
+        raise SystemExit(
+            "--space joints requires --bm-path (a real SMPL model file); "
+            "the synthetic test skeleton would silently corrupt the labels")
     from posendf_tpu.smpl import BodyModel
 
-    return BodyModel(bm_path=bm_path) if bm_path else BodyModel()
+    return BodyModel(bm_path=bm_path)
 
 
 def run_cli(args) -> None:

@@ -2,7 +2,11 @@ from posendf_tpu.experiments.camera import init_camera, project_points
 from posendf_tpu.experiments.denoise import MotionDenoiser, v2v_cm
 from posendf_tpu.experiments.fit_image import ImageFitter
 from posendf_tpu.experiments.interpolate import interpolate
-from posendf_tpu.experiments.optim import AnnealSpec, run_annealed_adam
+from posendf_tpu.experiments.optim import (
+    AnnealSpec,
+    make_annealed_solver,
+    run_annealed_adam,
+)
 from posendf_tpu.experiments.partial import PartialCompleter
 from posendf_tpu.experiments.render import render_meshes, save_meshes, save_obj
 
@@ -11,7 +15,7 @@ __all__ = [
     "MotionDenoiser", "v2v_cm",
     "ImageFitter",
     "interpolate",
-    "AnnealSpec", "run_annealed_adam",
+    "AnnealSpec", "make_annealed_solver", "run_annealed_adam",
     "PartialCompleter",
     "render_meshes", "save_meshes", "save_obj",
 ]

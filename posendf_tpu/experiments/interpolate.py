@@ -59,6 +59,8 @@ def run_cli(args) -> None:
 
     cfg = _load(args)
     module, params = _load_params(cfg, args.ckpt)
+    if bool(args.pose_a) != bool(args.pose_b):
+        raise SystemExit("--pose-a and --pose-b must be given together")
     if args.pose_a and args.pose_b:
         pose_a = _load_endpoint(args.pose_a)
         pose_b = _load_endpoint(args.pose_b)

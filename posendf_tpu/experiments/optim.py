@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["AnnealSpec", "run_annealed_adam"]
+__all__ = ["AnnealSpec", "make_annealed_solver", "run_annealed_adam"]
 
 
 class AnnealSpec(NamedTuple):

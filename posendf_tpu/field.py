@@ -30,6 +30,22 @@ class Field:
         """(B, 21, 4) -> (B, 1)."""
         return self.module.apply({"params": self.params}, pose)
 
+    def distance_fused(self, pose: jax.Array) -> jax.Array:
+        """Whole-model fused Pallas forward (TPU serving fast path; see
+        ``ops/fused_model.py``). Same semantics as ``distance`` for the
+        standard encoder+DFNet architecture."""
+        from posendf_tpu.ops.fused_model import fused_posendf_forward
+
+        m = self.module
+        if not m.use_encoder or m.ff_enc:
+            raise ValueError(
+                "distance_fused supports the standard encoder+DFNet "
+                "architecture (use_encoder=True, ff_enc=False)")
+        pose = pose.reshape(-1, m.num_joints, 4)
+        return fused_posendf_forward(
+            pose, self.params["enc"], self.params["dfnet"],
+            parents=m.parents, activation=m.activation, beta=m.beta)
+
     def distance_and_grad(self, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return distance_and_grad(self.module, self.params, pose)
 

@@ -1,8 +1,12 @@
 from posendf_tpu.ops.knn import (
     euclidean_rerank,
+    euclidean_topk,
     geodesic_rerank,
     geodesic_topk,
     l2_topk,
 )
 
-__all__ = ["euclidean_rerank", "geodesic_rerank", "geodesic_topk", "l2_topk"]
+__all__ = [
+    "euclidean_rerank", "euclidean_topk", "geodesic_rerank",
+    "geodesic_topk", "l2_topk",
+]

@@ -23,7 +23,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["l2_topk", "geodesic_topk", "geodesic_rerank", "euclidean_rerank"]
+__all__ = [
+    "l2_topk", "geodesic_topk", "euclidean_topk",
+    "geodesic_rerank", "euclidean_rerank",
+]
 
 
 def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> jax.Array:
@@ -163,6 +166,63 @@ def geodesic_topk(
         col = base + jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
         geo = jnp.where(col < N, geo, big)
         cat_d = jnp.concatenate([best_d, geo], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None
+
+    init = (
+        jnp.full((Q, k), big, query_quats.dtype),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    (dists, idx), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    return dists, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "corpus_tile"))
+def euclidean_topk(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    k: int,
+    corpus_tile: int = 8192,
+    weights: jax.Array | None = None,  # optional (J,) joint weights
+) -> Tuple[jax.Array, jax.Array]:
+    """EXACT per-joint-L2 top-k over the whole corpus (the ``euc`` metric of
+    ``data/dist_utils.py:19-30``: mean over joints of ||q_j - c_j||, or the
+    joint-weighted sum).
+
+    Streamed like geodesic_topk: per corpus tile, the per-joint squared
+    distances come from one einsum plus the squared norms
+    (||a-b||^2 = |a|^2 + |b|^2 - 2<a,b> per joint), so nothing larger than
+    (Q, T, J) is ever materialized.
+    """
+    Q, J, _ = query_quats.shape
+    N = corpus_quats.shape[0]
+    corpus_tile = max(corpus_tile, k, 128)
+    padded = _pad_to_multiple(corpus_quats, corpus_tile, 0.0)
+    n_tiles = padded.shape[0] // corpus_tile
+    tiles = padded.reshape(n_tiles, corpus_tile, J, 4)
+    big = jnp.asarray(jnp.finfo(query_quats.dtype).max, query_quats.dtype)
+    q_sq = jnp.sum(query_quats * query_quats, axis=-1)  # (Q, J)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile, t_idx = inp                               # (T, J, 4)
+        dots = jnp.einsum("qjd,njd->qnj", query_quats, tile,
+                          preferred_element_type=jnp.float32)
+        c_sq = jnp.sum(tile * tile, axis=-1)            # (T, J)
+        per_joint_sq = jnp.maximum(
+            q_sq[:, None, :] + c_sq[None, :, :] - 2.0 * dots, 0.0)
+        per_joint = jnp.sqrt(per_joint_sq + 1e-24)      # (Q, T, J)
+        if weights is not None:
+            d = jnp.einsum("qnj,j->qn", per_joint, weights)
+        else:
+            d = jnp.mean(per_joint, axis=-1)
+        base = t_idx * corpus_tile
+        col = base + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        d = jnp.where(col < N, d, big)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate([best_i, col], axis=1)
         neg_top, arg = jax.lax.top_k(-cat_d, k)
         return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None

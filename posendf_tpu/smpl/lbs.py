@@ -79,7 +79,13 @@ class SMPLModel:
     def tree_flatten(self):
         children = (self.v_template, self.shapedirs, self.posedirs,
                     self.j_regressor, self.lbs_weights)
-        aux = (_StaticArray(self.faces), self.parents)
+        # cache the hashable wrapper: flatten runs on every jit dispatch and
+        # rebuilding it would re-copy + re-hash the faces buffer each time
+        wrapped = self.__dict__.get("_faces_wrapped")
+        if wrapped is None or wrapped.arr is not self.faces:
+            wrapped = _StaticArray(self.faces)
+            self.__dict__["_faces_wrapped"] = wrapped
+        aux = (wrapped, self.parents)
         return children, aux
 
     @classmethod

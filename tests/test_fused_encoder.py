@@ -118,3 +118,28 @@ class TestFusedModel:
                 activation="softplus", beta=1.0, tile_b=128)))(q)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_field_distance_fused_api(rng):
+    """Field.distance_fused must route through the whole-model kernel and
+    agree with Field.distance."""
+    from posendf_tpu.config import PoseNDFConfig
+    from posendf_tpu.field import make_field
+
+    cfg = PoseNDFConfig()
+    cfg.dfnet.act = cfg.strenc.act = "softplus"
+    cfg.dfnet.dims = [32]
+    m = cfg.make_model()
+    params = m.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    field = make_field(m, params)
+    q = _poses(rng, 100)
+    ref = field.distance(q)
+    with pltpu.force_tpu_interpret_mode():
+        out = field.distance_fused(q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    cfg.dfnet.ff_enc = True
+    m2 = cfg.make_model()
+    field2 = make_field(m2, params)
+    with pytest.raises(ValueError):
+        field2.distance_fused(q)

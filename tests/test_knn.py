@@ -93,3 +93,25 @@ def test_geodesic_rerank_weighted(rng):
     geo = (w * (1 - np.abs(dots))).sum(-1)
     idx_ref = np.argsort(geo, axis=1)[:, :5]
     np.testing.assert_allclose(np.asarray(d), np.take_along_axis(geo, idx_ref, 1), atol=1e-5)
+
+
+def test_euclidean_topk_exact_matches_oracle(rng):
+    from posendf_tpu.ops import euclidean_topk
+
+    q = _unit_quats(rng, (7, 21))
+    c = _unit_quats(rng, (300, 21))
+    per_joint = np.linalg.norm(q[:, None] - c[None], axis=-1)  # (7, 300, 21)
+    ref = per_joint.mean(-1)
+    idx_ref = np.argsort(ref, axis=1)[:, :5]
+    d_ref = np.take_along_axis(ref, idx_ref, axis=1)
+    d, i = euclidean_topk(jnp.asarray(q), jnp.asarray(c), k=5, corpus_tile=128)
+    np.testing.assert_allclose(np.asarray(d), d_ref, atol=1e-5)
+    # weighted variant
+    from posendf_tpu.quat import SMPL_JOINT_RANK
+
+    w = np.asarray(SMPL_JOINT_RANK); w = (w / np.linalg.norm(w)).astype(np.float32)
+    dw, _ = euclidean_topk(jnp.asarray(q), jnp.asarray(c), k=5,
+                           corpus_tile=128, weights=jnp.asarray(w))
+    refw = (w * per_joint).sum(-1)
+    np.testing.assert_allclose(np.asarray(dw),
+                               np.sort(refw, axis=1)[:, :5], atol=1e-5)
