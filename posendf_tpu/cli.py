@@ -11,6 +11,8 @@ Mirrors (and repairs) the reference's entry points:
     don't match its actual files, README.md:75-85).
   * ``prepare-data`` — the data-manufacturing pipeline (replaces the
     reference's generated bash/Slurm fan-out with one sharded program).
+  * ``denoise-bench`` — the reference's HuMoR-style noise-grid sweep
+    (``motion_denoise.py:158-191``) with per-level v2v aggregation.
 
 Usage: ``python -m posendf_tpu.cli <command> [options]``.
 """
