@@ -61,6 +61,14 @@ def cmd_train(args):
     from posendf_tpu.training.trainer import Trainer
     from posendf_tpu.utils import enable_nan_debugging, trace
 
+    if args.test:
+        # reference CLI parity: `trainer.py --test` means pose generation
+        # (dead code upstream, model/train_posendf.py:112; first-class here)
+        args.num_poses, args.steps, args.seed = 10, 10, 0
+        args.no_renorm, args.out = False, None
+        args.save_mesh = args.render = False
+        args.mesh_dir = args.bm_path = None
+        return cmd_generate(args)
     if args.debug_nans:
         enable_nan_debugging()
     cfg = _load(args)
@@ -196,6 +204,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise immediately on any NaN under jit")
+    p.add_argument("--test", action="store_true",
+                   help="reference-CLI parity: generate poses instead of training")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("generate", help="sample poses by manifold projection")
