@@ -15,26 +15,60 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["synthetic_manifold_poses", "write_synthetic_dataset"]
+__all__ = [
+    "manifold_family",
+    "synthetic_manifold_poses",
+    "synthetic_motion_sequence",
+    "write_synthetic_dataset",
+]
 
 
-def synthetic_manifold_poses(rng: np.random.Generator, n: int, num_joints: int = 21) -> np.ndarray:
-    """Sample unit-quaternion poses from a smooth 2-parameter manifold:
-    each joint rotates about a fixed per-joint axis by an angle that is a
-    smooth function of two latent parameters. Returns (n, J, 4) float32."""
+def manifold_family(rng: "np.random.Generator", num_joints: int = 21):
+    """Draw the parameters of one smooth 2-latent pose family: per-joint
+    rotation axes, latent frequencies and phases. Poses generated from the
+    same family lie on the same manifold (the thing the field learns)."""
     axes = rng.normal(size=(num_joints, 3))
     axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
     freq = rng.uniform(0.5, 2.0, size=(num_joints, 2))
     phase = rng.uniform(0, 2 * np.pi, size=(num_joints,))
-    u = rng.uniform(0, 2 * np.pi, size=(n, 1, 1))
-    v = rng.uniform(0, 2 * np.pi, size=(n, 1, 1))
-    angle = 0.6 * np.sin(freq[None, :, 0:1] * u + phase[None, :, None]) \
-        + 0.4 * np.cos(freq[None, :, 1:2] * v)
-    angle = angle[..., 0]  # (n, J)
+    return axes, freq, phase
+
+
+def synthetic_manifold_poses(rng: np.random.Generator, n: int,
+                             num_joints: int = 21, family=None) -> np.ndarray:
+    """Sample unit-quaternion poses from a smooth 2-parameter manifold:
+    each joint rotates about a fixed per-joint axis by an angle that is a
+    smooth function of two latent parameters. ``family=None`` draws a fresh
+    family from ``rng``. Returns (n, J, 4) float32."""
+    if family is None:
+        family = manifold_family(rng, num_joints)
+    u = rng.uniform(0, 2 * np.pi, size=n)
+    v = rng.uniform(0, 2 * np.pi, size=n)
+    return _poses_from_latents(family, u, v)
+
+
+def _poses_from_latents(rng_params, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    axes, freq, phase = rng_params
+    angle = 0.6 * np.sin(freq[None, :, 0] * u[:, None] + phase[None, :]) \
+        + 0.4 * np.cos(freq[None, :, 1] * v[:, None])
     half = 0.5 * angle
     w = np.cos(half)[..., None]
     xyz = np.sin(half)[..., None] * axes[None]
     return np.concatenate([w, xyz], axis=-1).astype(np.float32)
+
+
+def synthetic_motion_sequence(rng: np.random.Generator, frames: int,
+                              num_joints: int = 21, family=None) -> np.ndarray:
+    """A temporally SMOOTH pose sequence on the synthetic manifold: the two
+    latent parameters follow slow sinusoidal trajectories over time, so
+    adjacent frames are similar — the property real mocap has and the
+    temporal loss in motion denoising depends on. Returns (frames, J, 4)."""
+    if family is None:
+        family = manifold_family(rng, num_joints)
+    t = np.linspace(0, 1, frames)
+    u = np.pi * (1 + np.sin(2 * np.pi * 0.4 * t + rng.uniform(0, 2 * np.pi)))
+    v = np.pi * (1 + np.cos(2 * np.pi * 0.3 * t + rng.uniform(0, 2 * np.pi)))
+    return _poses_from_latents(family, u, v)
 
 
 def _geodesic(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -53,12 +87,15 @@ def write_synthetic_dataset(
     k: int = 5,
     sigmas: Sequence[float] = (0.01, 0.05, 0.1, 0.25, 0.5),
     seed: int = 0,
+    family=None,
 ) -> Tuple[str, str]:
     """Fabricate ``<root>/amass`` (clean quats) and ``<root>/labeled``
     (noisy quats + exact brute-force kNN geodesic distance labels, the same
     labeling semantics as the reference pipeline). Returns (labeled_dir,
     amass_dir)."""
     rng = np.random.default_rng(seed)
+    if family is None:
+        family = manifold_family(rng)  # ONE manifold for the whole dataset
     amass_dir = os.path.join(root, "amass")
     labeled_dir = os.path.join(root, "labeled")
 
@@ -67,7 +104,7 @@ def write_synthetic_dataset(
     for subset in subsets:
         os.makedirs(os.path.join(amass_dir, subset), exist_ok=True)
         for s in range(seqs_per_subset):
-            poses = synthetic_manifold_poses(rng, poses_per_seq)
+            poses = synthetic_manifold_poses(rng, poses_per_seq, family=family)
             path = os.path.join(amass_dir, subset, f"seq{s:02d}.npz")
             np.savez(path, pose=poses)
             clean_files.append(path)

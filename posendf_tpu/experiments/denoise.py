@@ -135,6 +135,8 @@ class MotionDenoiser:
         if gt_pose_body is not None:
             gt_out = self.body_model(pose_body=gt_pose_body, betas=betas)
             metrics["v2v_cm"] = v2v_cm(out.vertices, gt_out.vertices)
+            # the number denoising must beat: the raw input's error
+            metrics["v2v_input_cm"] = v2v_cm(init_verts, gt_out.vertices)
         return final_pose, metrics
 
 
