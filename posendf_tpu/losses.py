@@ -69,7 +69,11 @@ def training_loss(
     dist_man = module.apply({"params": params}, man_poses, normalize_input=False)
     loss_man = jnp.mean(jnp.abs(dist_man))
 
-    grad_norm = jnp.linalg.norm(grad_pose, axis=-1)  # (B, 21)
+    # gradient-safe norm: grad_pose can be EXACTLY zero where the head
+    # saturates (softplus beta=100 ~ ReLU), and d||g||/dg at 0 is NaN — one
+    # such joint poisons the whole step. Observed in practice after ~150
+    # epochs of synthetic training; the epsilon is far below label scale.
+    grad_norm = jnp.sqrt(jnp.sum(grad_pose * grad_pose, axis=-1) + 1e-12)  # (B, 21)
     loss_eik = jnp.mean((grad_norm - 1.0) ** 2)
 
     total = weight_dist * loss_dist + weight_man * loss_man + weight_eikonal * loss_eik
