@@ -63,12 +63,14 @@ def cmd_train(args):
 
     if args.test:
         # reference CLI parity: `trainer.py --test` means pose generation
-        # (dead code upstream, model/train_posendf.py:112; first-class here)
-        args.num_poses, args.steps, args.seed = 10, 10, 0
-        args.no_renorm, args.out = False, None
-        args.save_mesh = args.render = False
-        args.mesh_dir = args.bm_path = None
-        return cmd_generate(args)
+        # (dead code upstream, model/train_posendf.py:112; first-class here).
+        # Re-parse through the real generate subparser so its defaults stay
+        # the single source of truth.
+        argv = ["generate", "--config", args.config]
+        if args.ckpt:
+            argv += ["--ckpt", args.ckpt]
+        gen_args = build_parser().parse_args(argv)
+        return gen_args.fn(gen_args)
     if args.debug_nans:
         enable_nan_debugging()
     cfg = _load(args)
@@ -169,9 +171,6 @@ def cmd_fit_image(args):
 
 
 def cmd_denoise_bench(args):
-    import jax
-    import jax.numpy as jnp
-
     from posendf_tpu.experiments.denoise import MotionDenoiser
     from posendf_tpu.experiments.denoise_benchmark import run_sweep, synthesize_grid
     from posendf_tpu.smpl import BodyModel
@@ -181,7 +180,8 @@ def cmd_denoise_bench(args):
     bm = BodyModel(bm_path=args.bm_path) if args.bm_path else BodyModel()
     data_root = args.data_root
     if args.synthesize:
-        data_root = synthesize_grid(args.data_root, seqs_per_level=args.seqs_per_level)
+        data_root = synthesize_grid(args.data_root, seqs_per_level=args.seqs_per_level,
+                                    family_seed=args.family_seed)
     denoiser = MotionDenoiser(module, params, bm)
     run_sweep(denoiser, data_root, iterations=args.iterations,
               steps_per_iter=args.steps_per_iter, out_path=args.out)
@@ -260,6 +260,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid root: <root>/<level>/<seq>/observations.npz")
     p.add_argument("--synthesize", action="store_true",
                    help="fabricate a synthetic noise grid under --data-root first")
+    p.add_argument("--family-seed", type=int, default=0,
+                   help="with --synthesize: manifold-family seed; must match "
+                        "the seed the checkpoint's synthetic training set was "
+                        "written with (write_synthetic_dataset seed)")
     p.add_argument("--seqs-per-level", type=int, default=2)
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--steps-per-iter", type=int, default=50)
@@ -275,7 +279,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="train")
     p.add_argument("--num-samples", type=int, default=100)
     p.add_argument("--runs", type=int, default=1000)
-    p.add_argument("--k-candidates", type=int, default=500)
+    p.add_argument("--k-candidates", type=int, default=0,
+                   help="0 (default): exact single-stage top-k; >0: the "
+                        "reference-shaped two-stage search (L2 candidate "
+                        "prefilter of this width, then exact re-rank — "
+                        "faiss k=500 in the reference)")
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--metric", choices=["geo", "euc"], default="geo")
     p.add_argument("--weighted", action="store_true",

@@ -235,6 +235,8 @@ def label_sequence(
     mesh=None,
     space: str = "quat",
     body_model=None,
+    corpus_emb=None,
+    corpus_np: Optional[np.ndarray] = None,
 ) -> dict:
     """Label one sequence: noisy queries + their k nearest distances against
     the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
@@ -249,7 +251,11 @@ def label_sequence(
     (reference ``faiss_idx_np``'s 75-D joint index, ``:50-58`` — here 72-D,
     24 FK joints, since the 25th smplx vertex-joint is cosmetic), followed by
     the exact metric re-rank either way. Requires ``body_model``; uses the
-    reference's 500-wide candidate set when ``k_candidates`` is 0."""
+    reference's 500-wide candidate set when ``k_candidates`` is 0.
+
+    ``corpus_emb`` / ``corpus_np``: corpus-wide invariants a caller labeling
+    many sequences against one corpus should compute ONCE and pass in
+    (``label_split`` does); both are derived here when absent."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
@@ -260,12 +266,13 @@ def label_sequence(
     queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
     corpus = jnp.asarray(corpus)
     N = corpus.shape[0]
+    if corpus_np is None:
+        corpus_np = np.asarray(corpus)
 
-    corpus_emb = None
-    if space == "joints":
+    if space == "joints" and corpus_emb is None:
         if body_model is None:
             raise ValueError("space='joints' requires a body_model")
-        corpus_emb = jnp.asarray(_fk_joint_embedding(np.asarray(corpus), body_model))
+        corpus_emb = jnp.asarray(_fk_joint_embedding(corpus_np, body_model))
     query_sharding = None
     if mesh is not None:
         # shard queries over the data axis; the corpus is replicated — each
@@ -309,7 +316,7 @@ def label_sequence(
         idxs.append(np.asarray(i))
     dist = np.concatenate(dists)
     idx = np.concatenate(idxs)
-    nn_pose = np.asarray(corpus)[idx]  # (Q, k, 21, 4)
+    nn_pose = corpus_np[idx]  # (Q, k, 21, 4)
     return {"pose": queries, "dist": dist, "nn_pose": nn_pose}
 
 
@@ -344,6 +351,14 @@ def label_split(
         i, n = shard
         files = files[i::n]
     corpus_dev = jnp.asarray(corpus)
+    # corpus-wide invariants, computed ONCE for the whole split (a full-corpus
+    # SMPL forward + device->host copy per sequence would make labeling
+    # O(S * N) instead of O(N + S * queries))
+    corpus_emb = None
+    if space == "joints":
+        if body_model is None:
+            raise ValueError("space='joints' requires a body_model")
+        corpus_emb = jnp.asarray(_fk_joint_embedding(corpus, body_model))
     rng = np.random.default_rng(seed)
     written = []
     for f in files:
@@ -362,6 +377,7 @@ def label_split(
             num_queries=num_queries * runs, k=k, k_candidates=k_candidates,
             metric=metric, weighted=weighted, rng=rng,
             space=space, body_model=body_model,
+            corpus_emb=corpus_emb, corpus_np=corpus,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
@@ -392,7 +408,7 @@ def run_cli(args) -> None:
         out = label_split(
             src, labeled_dir, subsets,
             num_queries=args.num_samples, runs=args.runs,
-            k=args.k, k_candidates=args.k_candidates if args.k_candidates else 0,
+            k=args.k, k_candidates=args.k_candidates,
             metric=getattr(args, "metric", "geo"),
             weighted=getattr(args, "weighted", False),
             space=getattr(args, "space", "quat"),

@@ -73,8 +73,13 @@ class MotionDenoiser:
                 verts, joints = lbs_forward(
                     aux["smpl"], aux["betas"],
                     jnp.zeros((B, 3), pose_body.dtype), pose_body)
-                temp = jnp.mean(jnp.sqrt(jnp.sum(
-                    (verts[:-1] - verts[1:]) ** 2, axis=-1) + 1e-12))
+                if B > 1:
+                    temp = jnp.mean(jnp.sqrt(jnp.sum(
+                        (verts[:-1] - verts[1:]) ** 2, axis=-1) + 1e-12))
+                else:
+                    # a single frame has no temporal stencil; jnp.mean over
+                    # the empty (0, V) delta would be NaN and poison the solve
+                    temp = jnp.zeros((), pose_body.dtype)
                 data = jnp.mean(jnp.sqrt(jnp.sum(
                     (joints - aux["init_joints"]) ** 2, axis=-1) + 1e-12))
                 return {"pose_pr": jnp.mean(dist), "temp": temp, "data": data}
@@ -102,6 +107,10 @@ class MotionDenoiser:
         The reference caps clips at one GPU (120 frames,
         ``partial_observation.py:116``); sharding removes that cap.
         """
+        if gt_pose_body is not None and len(gt_pose_body) != len(noisy_pose_body):
+            raise ValueError(
+                f"gt sequence has {len(gt_pose_body)} frames but the noisy input "
+                f"has {len(noisy_pose_body)}; align them before optimizing")
         init_out = self.body_model(pose_body=noisy_pose_body, betas=betas)
         pose0 = init_out.body_pose
         B = pose0.shape[0]
@@ -140,13 +149,15 @@ class MotionDenoiser:
         return final_pose, metrics
 
 
-def _load_pose_file(path: str) -> np.ndarray:
+def _load_pose_file(path: str, frames: Optional[int] = None) -> np.ndarray:
+    """Load a pose sequence (key ``pose_body`` or ``pose``) zero-padded to
+    (T, 69); ``frames`` truncates to the first ``frames`` rows."""
     with np.load(path) as z:
         key = "pose_body" if "pose_body" in z else "pose"
         pb = np.asarray(z[key]).astype(np.float32)
     out = np.zeros((len(pb), 69), np.float32)
     out[:, : min(pb.shape[1], 69)] = pb[:, :69]
-    return out
+    return out[:frames] if frames else out
 
 
 def run_cli(args) -> None:
@@ -157,7 +168,11 @@ def run_cli(args) -> None:
     bm = BodyModel(bm_path=args.bm_path) if args.bm_path else BodyModel()
 
     noisy = _load_pose_file(args.motion_data)
-    gt = _load_pose_file(args.gt_data) if args.gt_data else None
+    # align gt to the noisy clip up front — a frame-count mismatch would
+    # otherwise surface only after the full solve
+    gt = _load_pose_file(args.gt_data, frames=len(noisy)) if args.gt_data else None
+    if gt is not None and len(gt) < len(noisy):
+        noisy = noisy[: len(gt)]
     denoiser = MotionDenoiser(module, params, bm)
     final_pose, metrics = denoiser.optimize(jnp.asarray(noisy),
                                             jnp.asarray(gt) if gt is not None else None)

@@ -37,36 +37,38 @@ def synthesize_grid(
     grid: Sequence[Tuple[float, int]] = DEFAULT_GRID,
     seqs_per_level: int = 2,
     seed: int = 0,
+    family=None,
+    family_seed: int = 0,
 ) -> str:
-    """Fabricate a noise grid: gt = smooth synthetic pose sequences,
-    observations = gt + sigma * N(0,1) on the 63 body-pose dims."""
-    from posendf_tpu.data.synthetic import synthetic_manifold_poses
+    """Fabricate a noise grid: gt = temporally smooth pose sequences on ONE
+    synthetic manifold, observations = gt + sigma * N(0,1) on the 63
+    body-pose dims.
+
+    A field only denoises toward the manifold it was TRAINED on, so the grid
+    must share its family with the training set: pass the family itself, or
+    ``family_seed`` matching the ``seed`` given to
+    ``data.synthetic.write_synthetic_dataset`` (the family is the first draw
+    from ``default_rng(seed)`` in both places)."""
+    from posendf_tpu.data.synthetic import manifold_family, synthetic_motion_sequence
     from posendf_tpu.quat import quaternion_to_axis_angle
 
     import jax.numpy as jnp
 
+    if family is None:
+        family = manifold_family(np.random.default_rng(family_seed))
     rng = np.random.default_rng(seed)
     for sigma, frames in grid:
         level = f"noise_{sigma}_{frames}"
         for s in range(seqs_per_level):
             d = os.path.join(out_root, level, f"seq{s:02d}")
             os.makedirs(d, exist_ok=True)
-            quats = synthetic_manifold_poses(rng, frames)
+            quats = synthetic_motion_sequence(rng, frames, family=family)
             aa = np.asarray(quaternion_to_axis_angle(jnp.asarray(quats)))
             gt = aa.reshape(frames, 63).astype(np.float32)
             noisy = gt + sigma * rng.standard_normal(gt.shape).astype(np.float32)
             np.savez(os.path.join(d, "gt_results.npz"), pose_body=gt)
             np.savez(os.path.join(d, "observations.npz"), pose_body=noisy)
     return out_root
-
-
-def _load_pose63(path: str, frames: Optional[int] = None) -> np.ndarray:
-    with np.load(path) as z:
-        key = "pose_body" if "pose_body" in z else "pose"
-        pb = np.asarray(z[key]).astype(np.float32)
-    out = np.zeros((len(pb), 69), np.float32)
-    out[:, : min(pb.shape[1], 69)] = pb[:, :69]
-    return out[:frames] if frames else out
 
 
 def run_sweep(
@@ -79,8 +81,15 @@ def run_sweep(
 ) -> Dict[str, np.ndarray]:
     """Denoise every sequence of every grid level; returns
     {level: v2v_cm array} and optionally saves the aggregate table
-    (the reference's ``posendf_table_2.npz``, ``motion_denoise.py:191``)."""
+    (the reference's ``posendf_table_2.npz``, ``motion_denoise.py:191``).
+
+    Sequences without a ``gt_results.npz`` have no ground truth to score
+    against; their output-vs-input drift is aggregated SEPARATELY under
+    ``<level>__vs_input`` (a do-nothing denoiser scores 0 on that column, so
+    it must never be mixed into the v2v-vs-gt table)."""
     import jax.numpy as jnp
+
+    from posendf_tpu.experiments.denoise import _load_pose_file
 
     levels = grid_names or sorted(os.listdir(data_root))
     results: Dict[str, np.ndarray] = {}
@@ -89,22 +98,33 @@ def run_sweep(
         if not os.path.isdir(level_dir):
             continue
         errors: List[float] = []
+        no_gt: List[float] = []
         for seq in sorted(os.listdir(level_dir)):
             obs = os.path.join(level_dir, seq, "observations.npz")
             gt = os.path.join(level_dir, seq, "gt_results.npz")
             if not os.path.exists(obs):
                 continue
-            noisy = _load_pose63(obs)
-            gt_arr = _load_pose63(gt, frames=len(noisy)) if os.path.exists(gt) else None
+            noisy = _load_pose_file(obs)
+            gt_arr = _load_pose_file(gt, frames=len(noisy)) if os.path.exists(gt) else None
+            if gt_arr is not None and len(gt_arr) < len(noisy):
+                noisy = noisy[: len(gt_arr)]
             _, metrics = denoiser.optimize(
                 jnp.asarray(noisy),
                 jnp.asarray(gt_arr) if gt_arr is not None else None,
                 iterations=iterations, steps_per_iter=steps_per_iter,
             )
-            errors.append(metrics.get("v2v_cm", metrics["v2v_vs_input_cm"]))
+            if "v2v_cm" in metrics:
+                errors.append(metrics["v2v_cm"])
+            else:
+                no_gt.append(metrics["v2v_vs_input_cm"])
         results[level] = np.asarray(errors, np.float64)
         mean = results[level].mean() if len(errors) else float("nan")
         print(f"{level}: {len(errors)} seqs, mean v2v {mean:.4f} cm")
+        if no_gt:
+            results[f"{level}__vs_input"] = np.asarray(no_gt, np.float64)
+            print(f"{level}: WARNING {len(no_gt)} seqs without gt_results.npz "
+                  f"scored vs input only (mean drift "
+                  f"{np.mean(no_gt):.4f} cm, column {level}__vs_input)")
     if out_path:
         np.savez(out_path, **results)
         print(f"wrote {out_path}")

@@ -23,8 +23,6 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import List, Sequence, Tuple
 
-import numpy as np
-
 __all__ = [
     "NUM_BODY_JOINTS",
     "REFERENCE_PARENTS",
@@ -91,8 +89,3 @@ def level_schedule(parents: Sequence[int]) -> Tuple[Tuple[Tuple[int, ...], Tuple
         parent_ids = tuple(max(parents[j], 0) for j in joint_ids)
         levels.append((joint_ids, parent_ids))
     return tuple(levels)
-
-
-def root_mask(parents: Sequence[int]) -> np.ndarray:
-    """Boolean (J,) mask, True where the joint is a root (parent == -1)."""
-    return np.array([p == -1 for p in parents], dtype=bool)

@@ -29,6 +29,14 @@ __all__ = [
 ]
 
 
+def _check_k(k: int, n: int) -> None:
+    """Shapes are static under jit, so a too-small corpus is a trace-time
+    error — without this, the unfilled top-k slots keep their init sentinels
+    (float-max distance, index -1) and silently corrupt downstream labels."""
+    if n < k:
+        raise ValueError(f"top-k needs a corpus of at least k={k} rows, got {n}")
+
+
 def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> jax.Array:
     n = x.shape[0]
     pad = (-n) % m
@@ -49,6 +57,7 @@ def l2_topk(
     (squared distances)."""
     Q, D = queries.shape
     N = corpus.shape[0]
+    _check_k(k, N)
     corpus_tile = max(corpus_tile, k, 128)  # at least k (merge width) + one lane tile
     # padding is masked out by index validity below
     padded = _pad_to_multiple(corpus, corpus_tile, 0.0)
@@ -95,6 +104,7 @@ def geodesic_rerank(
     """Re-rank candidates by the double-cover-invariant geodesic surrogate
     mean_j (1 - |<q_j, c_j>|) (or the joint-weighted sum variant), returning
     the k smallest (dists (Q, k), corpus indices (Q, k))."""
+    _check_k(k, cand_idx.shape[1])
     cand = corpus_quats[cand_idx]                      # (Q, C, J, 4)
     dots = jnp.sum(query_quats[:, None] * cand, axis=-1)  # (Q, C, J)
     per_joint = 1.0 - jnp.abs(dots)
@@ -117,6 +127,7 @@ def euclidean_rerank(
     """Per-joint quaternion L2 metric (the reference's ``euc`` calculator,
     ``data/dist_utils.py:19-30``): mean over joints of ||q_j - c_j|| (or the
     joint-weighted sum). Returns the k smallest (dists, corpus indices)."""
+    _check_k(k, cand_idx.shape[1])
     cand = corpus_quats[cand_idx]                          # (Q, C, J, 4)
     diff = query_quats[:, None] - cand
     per_joint = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)  # (Q, C, J)
@@ -146,6 +157,7 @@ def geodesic_topk(
     """
     Q, J, _ = query_quats.shape
     N = corpus_quats.shape[0]
+    _check_k(k, N)
     corpus_tile = max(corpus_tile, k, 128)
     padded = _pad_to_multiple(corpus_quats, corpus_tile, 0.0)
     n_tiles = padded.shape[0] // corpus_tile
@@ -199,6 +211,7 @@ def euclidean_topk(
     """
     Q, J, _ = query_quats.shape
     N = corpus_quats.shape[0]
+    _check_k(k, N)
     corpus_tile = max(corpus_tile, k, 128)
     padded = _pad_to_multiple(corpus_quats, corpus_tile, 0.0)
     n_tiles = padded.shape[0] // corpus_tile

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from posendf_tpu.kinematics import SMPL_FULL_PARENTS
+from posendf_tpu.kinematics import SMPL_FULL_PARENTS, level_schedule
 from posendf_tpu.quat import axis_angle_to_matrix
 
 __all__ = ["SMPLModel", "load_smpl_model", "synthetic_model", "lbs_forward"]
@@ -181,17 +181,6 @@ def synthetic_model(num_vertices: int = 128, num_betas: int = 10, seed: int = 0)
     )
 
 
-def _fk_levels(parents: Tuple[int, ...]):
-    depth = {}
-    for j, p in enumerate(parents):
-        depth[j] = 0 if p == -1 else depth[p] + 1
-    levels = []
-    for d in range(max(depth.values()) + 1):
-        js = [j for j in range(len(parents)) if depth[j] == d]
-        levels.append((np.array(js), np.array([max(parents[j], 0) for j in js])))
-    return levels
-
-
 @partial(jax.jit, static_argnames=())
 def lbs_forward(
     model: SMPLModel,
@@ -224,7 +213,10 @@ def lbs_forward(
     J = len(model.parents)
     Rg = jnp.zeros((B, J, 3, 3), dtype=rot.dtype)
     tg = jnp.zeros((B, J, 3), dtype=rot.dtype)
-    levels = _fk_levels(model.parents)
+    # dependency-level grouping shared with the structure encoder
+    # (kinematics.level_schedule: validated parent<child order, lru-cached)
+    levels = [(np.asarray(js), np.asarray(ps))
+              for js, ps in level_schedule(model.parents)]
     (roots, _) = levels[0]
     Rg = Rg.at[:, roots].set(rot[:, roots])
     tg = tg.at[:, roots].set(joints_rest[:, roots])

@@ -160,3 +160,59 @@ def test_mesh_export_and_render(tmp_path, body):
     imgs = render_meshes(str(tmp_path), np.asarray(out.vertices[:1]), out.faces,
                          prefix="t", image_size=64)
     assert len(imgs) == 1 and os.path.exists(imgs[0])
+
+
+def test_motion_denoise_single_frame_is_finite(field, body):
+    """One-frame input has no temporal stencil; the empty-mean NaN must not
+    poison the solve."""
+    module, params = field
+    rng = np.random.default_rng(7)
+    noisy = jnp.asarray(rng.normal(scale=0.2, size=(1, 63)).astype(np.float32))
+    denoiser = MotionDenoiser(module, params, body)
+    out, metrics = denoiser.optimize(noisy, iterations=1, steps_per_iter=3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert np.isfinite(metrics["final_pose_pr"])
+    assert metrics["final_temp"] == 0.0
+
+
+def test_motion_denoise_rejects_mismatched_gt(field, body):
+    module, params = field
+    rng = np.random.default_rng(8)
+    noisy = jnp.asarray(rng.normal(scale=0.2, size=(4, 63)).astype(np.float32))
+    gt = jnp.asarray(rng.normal(scale=0.2, size=(6, 63)).astype(np.float32))
+    denoiser = MotionDenoiser(module, params, body)
+    with pytest.raises(ValueError, match="frames"):
+        denoiser.optimize(noisy, gt, iterations=1, steps_per_iter=1)
+
+
+def test_synthesize_grid_single_family_and_smooth(tmp_path):
+    """The synthetic benchmark grid must (a) draw every gt sequence from ONE
+    manifold family reproducible from family_seed (so a checkpoint trained
+    on write_synthetic_dataset(seed=S) is evaluated on ITS manifold), and
+    (b) be temporally smooth (the property the temporal loss relies on)."""
+    from posendf_tpu.data.synthetic import manifold_family
+    from posendf_tpu.experiments.denoise_benchmark import synthesize_grid
+    from posendf_tpu.quat import axis_angle_to_quaternion
+
+    root = synthesize_grid(str(tmp_path / "g"), grid=((0.05, 60), (0.1, 60)),
+                           seqs_per_level=2, seed=3, family_seed=11)
+    fam = manifold_family(np.random.default_rng(11))
+    axes = fam[0]
+    for level in sorted(os.listdir(root)):
+        for seq in sorted(os.listdir(os.path.join(root, level))):
+            with np.load(os.path.join(root, level, seq, "gt_results.npz")) as z:
+                gt = z["pose_body"]
+            quats = np.asarray(axis_angle_to_quaternion(
+                jnp.asarray(gt.reshape(len(gt), 21, 3))))
+            # (a) every joint's rotation axis matches the family's axis
+            # (axis-angle direction = quat xyz direction, up to sign)
+            xyz = quats[..., 1:]
+            norm = np.linalg.norm(xyz, axis=-1, keepdims=True)
+            mask = norm[..., 0] > 1e-4
+            cos = np.abs(np.sum(xyz / np.where(norm > 1e-8, norm, 1.0)
+                                * axes[None], axis=-1))
+            assert np.all(cos[mask] > 0.999)
+            # (b) adjacent frames are close (smooth latent trajectories);
+            # independent per-frame latents would give dots well below 0.9
+            step = np.abs(np.sum(quats[1:] * quats[:-1], axis=-1))
+            assert np.min(step) > 0.98

@@ -115,3 +115,18 @@ def test_euclidean_topk_exact_matches_oracle(rng):
     refw = (w * per_joint).sum(-1)
     np.testing.assert_allclose(np.asarray(dw),
                                np.sort(refw, axis=1)[:, :5], atol=1e-5)
+
+
+def test_topk_rejects_corpus_smaller_than_k(rng):
+    """A corpus with fewer than k rows must be a trace-time error — the
+    unfilled slots would otherwise keep the float-max/-1 init sentinels and
+    silently corrupt the saved labels."""
+    q = rng.random((4, 21, 4)).astype(np.float32)
+    c = rng.random((3, 21, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="at least k"):
+        geodesic_topk(jnp.asarray(q), jnp.asarray(c), k=5)
+    with pytest.raises(ValueError, match="at least k"):
+        l2_topk(jnp.asarray(q.reshape(4, -1)), jnp.asarray(c.reshape(3, -1)), k=5)
+    cand = jnp.zeros((4, 2), jnp.int32)
+    with pytest.raises(ValueError, match="at least k"):
+        geodesic_rerank(jnp.asarray(q), jnp.asarray(c), cand, k=5)
