@@ -19,6 +19,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# compiles of small graphs (one CPU core in this image); warm runs skip
+# them. Keyed by platform, so it never collides with the TPU cache
+# (.jax_cache/, bench.py) — kept separate anyway so either can be wiped
+# independently. Trivial sub-second compiles are not worth the disk churn.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
