@@ -107,6 +107,45 @@ def main():
     float(proj_jit())  # compile
     proj_s = timed(proj_jit)
 
+    # fused value-and-grad kernel path (ops/fused_grad.py) — one Pallas
+    # program per step instead of XLA forward + vjp backward
+    proj_fused_s = None
+    try:
+        def proj_fused_sum():
+            out, _ = project(module, params, poses, steps=STEPS, fused=True)
+            return jnp.sum(out)
+
+        pf_jit = jax.jit(proj_fused_sum)
+        float(pf_jit())  # compile
+        proj_fused_s = timed(pf_jit)
+    except Exception:
+        proj_fused_s = None
+
+    # ---------- value-and-grad throughput at serving batch (131k) ----------
+    # the solver primitive: d AND grad_q d per pose. Fused kernel wins ~2x
+    # over XLA fwd+vjp once the batch amortizes the tile grid.
+    vag_fused = None
+    try:
+        from posendf_tpu.ops.fused_grad import fused_distance_and_grad
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def vag_loop(params, pose, iters):
+            def body(i, acc):
+                d, g = fused_distance_and_grad(
+                    pose + acc * 0, params["enc"], params["dfnet"],
+                    parents=module.parents)
+                return acc + jnp.sum(d) + jnp.sum(g[0, 0])
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(vag_loop(params, pose, lo))
+        float(vag_loop(params, pose, hi))
+        t_lo3 = timed(lambda: vag_loop(params, pose, lo))
+        t_hi3 = timed(lambda: vag_loop(params, pose, hi))
+        vag_fused = B / ((t_hi3 - t_lo3) / (hi - lo))
+    except Exception:
+        vag_fused = None
+
     # ---------- bf16 fast path (compute_dtype=bfloat16, 262k batch) --------
     bf16_evals = None
     try:
@@ -177,6 +216,8 @@ def main():
         "vs_baseline": round(evals_per_sec / target, 3),
         "extra": {
             "projection_200step_10k_s": round(proj_s, 4),
+            "projection_200step_10k_fused_s":
+                round(proj_fused_s, 4) if proj_fused_s else None,
             "projection_target_s": 1.0,
             "device": str(dev),
             "batch": B,
@@ -184,6 +225,8 @@ def main():
             "per_fwd_iter_ms": round(per_iter * 1e3, 4),
             "train_step_20k_ms": round(train_ms, 3) if train_ms else None,
             "bf16_evals_per_sec": round(bf16_evals, 1) if bf16_evals else None,
+            "fused_value_and_grad_per_sec":
+                round(vag_fused, 1) if vag_fused else None,
         },
     }))
 

@@ -49,6 +49,23 @@ class Field:
     def distance_and_grad(self, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return distance_and_grad(self.module, self.params, pose)
 
+    def distance_and_grad_fused(self, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Fused single-kernel (d, dd/dpose) — the TPU solver fast path
+        (``ops/fused_grad.py``). Same semantics as ``distance_and_grad`` for
+        the standard encoder+DFNet architecture; forward-only (the outputs
+        must not be differentiated further)."""
+        from posendf_tpu.ops.fused_grad import fused_distance_and_grad
+
+        m = self.module
+        if not m.use_encoder or m.ff_enc:
+            raise ValueError(
+                "distance_and_grad_fused supports the standard encoder+DFNet "
+                "architecture (use_encoder=True, ff_enc=False)")
+        pose = pose.reshape(-1, m.num_joints, 4)
+        return fused_distance_and_grad(
+            pose, self.params["enc"], self.params["dfnet"],
+            parents=m.parents, activation=m.activation, beta=m.beta)
+
 
 def distance_fn(module, params) -> Callable[[jax.Array], jax.Array]:
     def f(pose: jax.Array) -> jax.Array:

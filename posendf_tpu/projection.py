@@ -38,7 +38,8 @@ def random_poses(key: jax.Array, batch: int, num_joints: int = 21) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("module", "steps", "renormalize", "step_scale", "tangent"),
+    static_argnames=("module", "steps", "renormalize", "step_scale", "tangent",
+                     "fused"),
 )
 def project(
     module,
@@ -48,6 +49,7 @@ def project(
     renormalize: bool = True,
     step_scale: float = 1.0,
     tangent: bool = False,
+    fused: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Project poses onto the learned manifold.
 
@@ -62,6 +64,9 @@ def project(
         S^3 before stepping (removes the radial component the reference's
         ambient-space step wastes on leaving the sphere) — Riemannian
         gradient descent on (S^3)^21 instead of step-then-retract.
+      fused: evaluate (d, grad d) with the single fused Pallas kernel
+        (``ops/fused_grad.py``) instead of XLA forward + ``jax.vjp`` — the
+        TPU fast path; requires the standard encoder+DFNet architecture.
 
     Returns:
       (projected_poses (B, 21, 4), distance_history (steps, B)) — the history
@@ -72,9 +77,21 @@ def project(
     def dist_fn(p):
         return module.apply({"params": params}, p)
 
+    if fused:
+        from posendf_tpu.ops.fused_grad import fused_distance_and_grad
+
+        def value_and_grad(q):
+            return fused_distance_and_grad(
+                q, params["enc"], params["dfnet"], parents=module.parents,
+                activation=module.activation, beta=module.beta)
+    else:
+        def value_and_grad(q):
+            d, pullback = jax.vjp(dist_fn, q)
+            (g,) = pullback(jnp.ones_like(d))
+            return d, g
+
     def step(q, _):
-        d, pullback = jax.vjp(dist_fn, q)
-        (g,) = pullback(jnp.ones_like(d))
+        d, g = value_and_grad(q)
         if tangent:
             # remove the component of g along q (per joint): g_tan = g - <g,q> q
             radial = jnp.sum(g * q, axis=-1, keepdims=True)
