@@ -1,4 +1,5 @@
-"""Pallas TPU kernel: distance AND input-gradient in ONE fused program.
+"""Pallas TPU kernels: distance + input-gradient (and the full projection
+step) in ONE fused program.
 
 The projection solver (``projection.py``, reference loop
 ``experiments/sample_poses.py:70-74``) and every experiment optimizer
@@ -8,11 +9,18 @@ layer's activations round-trip through HBM between the two passes, and the
 backward also computes parameter cotangents that the solvers immediately
 throw away.
 
-This kernel runs the whole model (21-joint encoder chain + 7-layer DFNet)
-forward AND its input-only backward in a single Pallas program per batch
-tile: all weights (~5.5 MB fp32) and every intermediate pre-activation stay
-resident in VMEM; no parameter gradients are formed at all. HBM traffic per
-pose is 84 floats in, 85 floats out (1 distance + 84 gradient components).
+Two kernels share one body here:
+
+* ``fused_distance_and_grad`` — (d, dd/dq) per batch tile: encoder chain +
+  DFNet forward AND the input-only backward, all weights and intermediate
+  state VMEM-resident. HBM traffic per pose: 84 floats in, 85 out.
+* ``fused_project`` — the ENTIRE projection step in-kernel: joint-axis
+  input normalization (``model/posendf.py:71``) and its VJP, the field
+  forward/backward, the ``q <- q - d * grad`` update
+  (``sample_poses.py:74``), optional tangent-space projection, and per-joint
+  renormalization. The ``lax.scan`` carries poses in the kernel's native
+  (J, 4, B) layout, so a 200-step solve is 200 kernel launches with ZERO
+  per-step XLA glue (no transposes, no separate normalize/update ops).
 
 Backward math (input cotangent only, unit output cotangent):
   DFNet:    z_l = x_l @ W_l + b_l,  x_{l+1} = act(z_l),  d = out_act(z_{L-1})
@@ -27,12 +35,15 @@ Backward math (input cotangent only, unit output cotangent):
   is < child index — ``net_utils.py:44-50`` — so the reverse index walk sees
   all children before their parent.)
 
-The joint-axis input normalization (``model/posendf.py:71``) and its VJP are
-chained OUTSIDE the kernel in XLA (elementwise + a 21-way reduction; cheap).
-
-Activation-derivative subgradients at z == 0 are chosen to match JAX's
-autodiff of the forward functions exactly (see ``models/activations.py``),
-so this kernel is bit-comparable to ``jax.vjp`` of the XLA model.
+Activation-derivative state is stored compactly: for lrelu/relu the
+derivative is two-valued ({1, 0.01} / {1, 0} — exact in bfloat16), so the
+forward stashes the derivative VALUE in bf16 (half the fp32 pre-activation
+footprint — frees VMEM for bigger batch tiles); softplus needs
+sigmoid(beta*z), so fp32 pre-activations are kept. The output layer stores
+nothing: its derivative is recovered from the distance value itself.
+Derivative semantics at z == 0 match JAX's autodiff of the forward functions
+exactly (see ``models/activations.py``), so these kernels are bit-comparable
+to ``jax.vjp`` of the XLA model.
 """
 
 from __future__ import annotations
@@ -45,39 +56,84 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from posendf_tpu.models.activations import (
-    make_activation,
-    make_activation_grad,
-    make_output_activation,
-    make_output_activation_grad,
-)
+from posendf_tpu.models.activations import make_activation, make_output_activation
 
-__all__ = ["fused_distance_and_grad"]
+__all__ = ["fused_distance_and_grad", "fused_project"]
+
+_EPS2 = 1e-24  # eps**2 of quat.joint_axis_normalize / quat_normalize (1e-12)
+
+# Mosaic's DEFAULT scoped-VMEM cap is 16 MB, well under v5e's physical VMEM;
+# these kernels double-buffer ~5.5 MB of weights plus per-tile activation
+# state, so raise the cap (tile 1024 peaks ~60 MB, verified on v5e).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _vag_kernel(parents_ref, pmask_ref, q_ref,
-                w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
-                *refs,
-                num_joints, num_layers, activation, beta):
-    layer_refs = refs[: 2 * num_layers]
-    d_ref = refs[2 * num_layers]            # out (tile, 1)
-    gq_ref = refs[2 * num_layers + 1]       # out (J, 4, tile)
-    feats = refs[2 * num_layers + 2]        # scratch (J, F, tile)
-    hpre = refs[2 * num_layers + 3]         # scratch (J, H, tile)
-    fpre = refs[2 * num_layers + 4]         # scratch (J, F, tile)
-    gfeat = refs[2 * num_layers + 5]        # scratch (J, F, tile)
-    zrefs = refs[2 * num_layers + 6:]       # per-layer (tile, d_l) pre-acts
+def _act_store(activation, z):
+    """Forward-pass derivative state for z.
+
+    lrelu/relu derivatives are two-valued ({1, 0.01} / {1, 0}) and exactly
+    representable in bfloat16, so the DERIVATIVE VALUE is stored directly at
+    half the fp32 footprint (int8 selectors would be 4x smaller still, but
+    i1->int8 stores trip a Mosaic relayout bug). softplus needs
+    sigmoid(beta*z), so the fp32 pre-activation is kept.
+    """
+    if activation == "lrelu":
+        return jnp.where(z >= 0, 1.0, 0.01).astype(jnp.bfloat16)
+    if activation == "relu":
+        return jnp.where(z > 0, 1.0, 0.0).astype(jnp.bfloat16)
+    return z
+
+
+def _act_grad(activation, beta, stored):
+    """Derivative of the hidden activation from the stored state."""
+    if activation in ("lrelu", "relu"):
+        return stored.astype(jnp.float32)
+    return jax.nn.sigmoid(beta * stored)
+
+
+def _out_act_grad_from_value(activation, beta, d):
+    """Derivative of the OUTPUT activation recovered from its own value d —
+    no stored state needed (also sidesteps a Mosaic i1-relayout bug on
+    (tile, 1) int8 vectors):
+      relu (lrelu/relu configs): relu'(z) = [z > 0] = [relu(z) > 0]
+      softplus: d = softplus(beta z)/beta  =>  sigmoid(beta z) = 1 - e^(-beta d)
+    """
+    if activation in ("lrelu", "relu"):
+        return (d > 0).astype(jnp.float32)
+    return 1.0 - jnp.exp(-beta * d)
+
+
+def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
+                   beta, parents_ref, pmask_ref,
+                   w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref, layer_refs,
+                   q_transform=None):
+    """Shared kernel body: forward + input-only backward of the whole field.
+
+    ``q_norm_ref``: (J, 4, T) ref holding the (already input-normalized)
+    pose tile. ``q_transform`` (optional) maps each per-joint (4, T) read
+    before use — the projection kernel folds the joint-axis input
+    normalization in here so it rides the existing 21-iteration loop instead
+    of needing a scratch copy. Returns ``(d, gx_ref)`` where d is the (T, 1)
+    distance value and ``gx_ref`` the (J, 4, T) scratch filled with
+    dd/dq_norm.
+    """
+    feats = refs["feats"]          # (J, F, T) fp32
+    hst = refs["hstore"]           # (J, H, T) int8 or fp32
+    fst = refs["fstore"]           # (J, F, T) int8 or fp32
+    gfeat = refs["gfeat"]          # (J, F, T) fp32
+    zstores = refs["zstores"]      # per-layer (T, d_l) int8 or fp32
+    gx_ref = refs["gx"]            # (J, 4, T) fp32
 
     act = make_activation(activation, beta)
-    actg = make_activation_grad(activation, beta)
     out_act = make_output_activation(activation, beta)
-    out_actg = make_output_activation_grad(activation, beta)
 
     # ---- encoder forward, (feature, batch) orientation ----
     feats[0] = jnp.zeros(feats.shape[1:], feats.dtype)
 
     def fwd_body(j, _):
-        q = q_ref[j]
+        q = q_norm_ref[j]
+        if q_transform is not None:
+            q = q_transform(q)
         p = jnp.maximum(parents_ref[j], 0)
         zh = (
             jnp.dot(w1a_ref[j], q, preferred_element_type=jnp.float32)
@@ -85,32 +141,35 @@ def _vag_kernel(parents_ref, pmask_ref, q_ref,
                                      preferred_element_type=jnp.float32)
             + b1_ref[j][:, None]
         )
-        hpre[j] = zh
+        hst[j] = _act_store(activation, zh)
         h = act(zh)
         zf = jnp.dot(w2_ref[j], h, preferred_element_type=jnp.float32) \
             + b2_ref[j][:, None]
-        fpre[j] = zf
+        fst[j] = _act_store(activation, zf)
         feats[j] = act(zf)
         return 0
 
     jax.lax.fori_loop(0, num_joints, fwd_body, 0)
 
-    # ---- DFNet forward, (batch, feature) orientation; stash pre-acts ----
+    # ---- DFNet forward, (batch, feature) orientation ----
     J, F, T = feats.shape
-    x = feats[...].reshape(J * F, T).T                   # (tile, J*F)
+    x = feats[...].reshape(J * F, T).T                    # (tile, J*F)
     for l in range(num_layers):
         w = layer_refs[2 * l][...]                        # (in, out)
         b = layer_refs[2 * l + 1][...]                    # (out,)
         z = jnp.dot(x, w, preferred_element_type=jnp.float32) + b[None, :]
-        zrefs[l][...] = z
-        x = act(z) if l < num_layers - 1 else out_act(z)
-    d_ref[...] = x                                        # (tile, 1)
+        if l < num_layers - 1:
+            zstores[l][...] = _act_store(activation, z)
+            x = act(z)
+        else:
+            x = out_act(z)
+    d = x                                                 # (tile, 1)
 
     # ---- DFNet backward (unit cotangent; input grads only) ----
-    g = out_actg(zrefs[num_layers - 1][...])              # (tile, 1)
+    g = _out_act_grad_from_value(activation, beta, d)
     for l in range(num_layers - 1, -1, -1):
         if l < num_layers - 1:
-            g = g * actg(zrefs[l][...])
+            g = g * _act_grad(activation, beta, zstores[l][...])
         w = layer_refs[2 * l][...]                        # (in, out)
         # g @ w^T without materializing the transpose: contract 'out' axes
         g = jax.lax.dot_general(
@@ -122,12 +181,12 @@ def _vag_kernel(parents_ref, pmask_ref, q_ref,
 
     def bwd_body(i, _):
         j = num_joints - 1 - i
-        gf = gfeat[j] * actg(fpre[j])                     # (F, tile)
+        gf = gfeat[j] * _act_grad(activation, beta, fst[j])
         gh = jax.lax.dot_general(
             w2_ref[j], gf, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (H, tile)
-        gh = gh * actg(hpre[j])
-        gq_ref[j] = jax.lax.dot_general(
+        gh = gh * _act_grad(activation, beta, hst[j])
+        gx_ref[j] = jax.lax.dot_general(
             w1a_ref[j], gh, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (4, tile)
         p = jnp.maximum(parents_ref[j], 0)
@@ -138,22 +197,113 @@ def _vag_kernel(parents_ref, pmask_ref, q_ref,
         return 0
 
     jax.lax.fori_loop(0, num_joints, bwd_body, 0)
+    return d, gx_ref
 
 
-def _vag_core(quat, enc_params, dfnet_params, parents, activation, beta,
-              num_layers, tile_b):
-    """(Bp, J, 4) pre-normalized quats -> ((Bp, 1) dist, (J, 4, Bp) grad)."""
-    B = quat.shape[0]
-    J = len(parents)
-    q_t = jnp.transpose(quat, (1, 2, 0))                  # (J, 4, B)
+def _split_refs(refs, num_layers, num_outputs):
+    """Order: [layer w/b]*L, outputs..., feats, hstore, fstore, gfeat, gx,
+    [xnorm], zstores..."""
+    layer_refs = refs[: 2 * num_layers]
+    outs = refs[2 * num_layers: 2 * num_layers + num_outputs]
+    rest = refs[2 * num_layers + num_outputs:]
+    return layer_refs, outs, rest
+
+
+def _vag_kernel(parents_ref, pmask_ref, q_ref,
+                w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
+                *refs, num_joints, num_layers, activation, beta):
+    layer_refs, (d_ref, gq_ref), rest = _split_refs(refs, num_layers, 2)
+    named = {"feats": rest[0], "hstore": rest[1], "fstore": rest[2],
+             "gfeat": rest[3], "gx": gq_ref, "zstores": rest[4:]}
+    d, _ = _field_fwd_bwd(
+        q_ref, named, num_joints=num_joints, num_layers=num_layers,
+        activation=activation, beta=beta, parents_ref=parents_ref,
+        pmask_ref=pmask_ref, w1a_ref=w1a_ref, w1b_ref=w1b_ref, b1_ref=b1_ref,
+        w2_ref=w2_ref, b2_ref=b2_ref, layer_refs=layer_refs)
+    d_ref[...] = d
+
+
+def _proj_kernel(parents_ref, pmask_ref, q_ref,
+                 w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
+                 *refs, num_joints, num_layers, activation, beta,
+                 renormalize, step_scale, tangent, normalize_input):
+    layer_refs, (d_ref, qout_ref), rest = _split_refs(refs, num_layers, 2)
+    named = {"feats": rest[0], "hstore": rest[1], "fstore": rest[2],
+             "gfeat": rest[3], "gx": rest[4], "zstores": rest[5:]}
+
+    # Performance discipline (each rule measured ~2x on kernel throughput):
+    # (1) only (4, T)-sized values stay live across the field phase;
+    # (2) the input normalization is FOLDED into the field's per-joint
+    #     forward loop (q_transform) instead of materializing a copy;
+    # (3) ALL phase work runs per joint on (4, T) tiles with STATICALLY
+    #     unrolled joint indices — full-array ops and broadcasts on the
+    #     rank-3 (J, 4, T) shape force Mosaic relayouts that dwarf the
+    #     actual arithmetic.
+
+    # joint-axis norm: n = sqrt(max(sum_J q^2, eps^2)), reduction over the
+    # JOINT axis per (component, pose) column (reference quirk,
+    # model/posendf.py:71)
+    if normalize_input:
+        s = None
+        for j in range(num_joints):                       # static indices
+            q = q_ref[j]
+            s = q * q if s is None else s + q * q
+        n = jnp.sqrt(jnp.maximum(s, _EPS2))
+        q_transform = lambda q: q / n                     # noqa: E731
+    else:
+        q_transform = None
+
+    d, gx_ref = _field_fwd_bwd(
+        q_ref, named, num_joints=num_joints, num_layers=num_layers,
+        activation=activation, beta=beta, parents_ref=parents_ref,
+        pmask_ref=pmask_ref, w1a_ref=w1a_ref, w1b_ref=w1b_ref, b1_ref=b1_ref,
+        w2_ref=w2_ref, b2_ref=b2_ref, layer_refs=layer_refs,
+        q_transform=q_transform)
+    d_ref[...] = d
+    drow = d[:, 0][None, :] * step_scale                  # (1, T)
+    # replicate d into all 4 sublane rows ONCE — per-joint (1,T)->(4,T)
+    # broadcasts inside the loop are Mosaic relayouts costing more than the
+    # entire field computation (measured: 0.78 ms/call of pure relayout)
+    drow4 = jnp.concatenate([drow, drow, drow, drow], axis=0)  # (4, T)
+
+    def _sublane_total(y):
+        """All-rows sum over the 4 components via a roll tree — native
+        sublane shuffles instead of reduce+broadcast relayouts; every row of
+        the result holds the full sum."""
+        y = y + pltpu.roll(y, 1, 0)
+        return y + pltpu.roll(y, 2, 0)
+
+    # ---- update: normalize-VJP + step + renorm, per joint, unrolled ----
+    if normalize_input:
+        # VJP of x = q / n: g_q = gx / n - q * (<gx, q>_J * [s >= eps^2] / n^3)
+        dot = None
+        for j in range(num_joints):
+            p = gx_ref[j] * q_ref[j]
+            dot = p if dot is None else dot + p
+        scale = jnp.where(s >= _EPS2, dot / (n * n * n), 0.0)
+
+    for j in range(num_joints):                           # static indices
+        q = q_ref[j]                                      # (4, T)
+        if normalize_input:
+            g = gx_ref[j] / n - q * scale
+        else:
+            g = gx_ref[j]
+        if tangent:
+            g = g - _sublane_total(g * q) * q
+        qn = q - drow4 * g
+        if renormalize:
+            nn = _sublane_total(qn * qn)
+            qn = qn / jnp.sqrt(jnp.maximum(nn, _EPS2))
+        qout_ref[j] = qn
+
+
+def _weight_operands(enc_params, dfnet_params, parents, num_layers, dtype):
     w1 = enc_params["w1"]                                  # (J, 10, H)
     w1a = jnp.transpose(w1[:, :4, :], (0, 2, 1))           # (J, H, 4)
     w1b = jnp.transpose(w1[:, 4:, :], (0, 2, 1))           # (J, H, F)
     w2t = jnp.transpose(enc_params["w2"], (0, 2, 1))       # (J, F, H)
-    H = w1.shape[-1]
-    F = enc_params["w2"].shape[-1]
     parents_arr = jnp.asarray(parents, jnp.int32)
-    pmask = jnp.asarray([0.0 if p == -1 else 1.0 for p in parents], quat.dtype)
+    pmask = jnp.asarray([0.0 if p == -1 else 1.0 for p in parents], dtype)
 
     layer_args, layer_specs, dims = [], [], []
     for l in range(num_layers):
@@ -167,31 +317,57 @@ def _vag_core(quat, enc_params, dfnet_params, parents, activation, beta,
             pl.BlockSpec(b.shape, lambda i, *_, n=b.ndim: (0,) * n,
                          memory_space=pltpu.VMEM),
         ]
+    return (parents_arr, pmask, w1a, w1b, enc_params["b1"], w2t,
+            enc_params["b2"], layer_args, layer_specs, dims)
+
+
+def _common_specs(J, H, F, tile_b):
+    return [
+        pl.BlockSpec((J, 4, tile_b), lambda i, *_: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, H, 4), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, H, F), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, H), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, F, H), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, F), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+def _field_scratches(J, H, F, tile_b, dims, activation, *, extra_pose_bufs=0):
+    store_dt = jnp.bfloat16 if activation in ("lrelu", "relu") else jnp.float32
+    return [
+        pltpu.VMEM((J, F, tile_b), jnp.float32),           # feats
+        pltpu.VMEM((J, H, tile_b), store_dt),              # h derivative state
+        pltpu.VMEM((J, F, tile_b), store_dt),              # f derivative state
+        pltpu.VMEM((J, F, tile_b), jnp.float32),           # feature grads
+    ] + [pltpu.VMEM((J, 4, tile_b), jnp.float32)
+         for _ in range(extra_pose_bufs)] \
+      + [pltpu.VMEM((tile_b, d), store_dt) for d in dims[:-1]]
+
+
+def _vag_core(quat, enc_params, dfnet_params, parents, activation, beta,
+              num_layers, tile_b):
+    """(Bp, J, 4) pre-normalized quats -> ((Bp, 1) dist, (J, 4, Bp) grad)."""
+    B = quat.shape[0]
+    J = len(parents)
+    q_t = jnp.transpose(quat, (1, 2, 0))                  # (J, 4, B)
+    (parents_arr, pmask, w1a, w1b, b1, w2t, b2,
+     layer_args, layer_specs, dims) = _weight_operands(
+        enc_params, dfnet_params, parents, num_layers, quat.dtype)
+    H = w1a.shape[1]
+    F = w1b.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // tile_b,),
-        in_specs=[
-            pl.BlockSpec((J, 4, tile_b), lambda i, *_: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, H, 4), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, H, F), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, H), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, F, H), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, F), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        ] + layer_specs,
+        in_specs=_common_specs(J, H, F, tile_b) + layer_specs,
         out_specs=(
             pl.BlockSpec((tile_b, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((J, 4, tile_b), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((J, F, tile_b), jnp.float32),   # feats
-            pltpu.VMEM((J, H, tile_b), jnp.float32),   # h pre-acts
-            pltpu.VMEM((J, F, tile_b), jnp.float32),   # f pre-acts
-            pltpu.VMEM((J, F, tile_b), jnp.float32),   # feature grads
-        ] + [pltpu.VMEM((tile_b, d), jnp.float32) for d in dims],
+        scratch_shapes=_field_scratches(J, H, F, tile_b, dims, activation),
     )
     kernel = functools.partial(
         _vag_kernel, num_joints=J, num_layers=num_layers,
@@ -199,12 +375,12 @@ def _vag_core(quat, enc_params, dfnet_params, parents, activation, beta,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), quat.dtype),
             jax.ShapeDtypeStruct((J, 4, B), quat.dtype),
         ),
-    )(parents_arr, pmask, q_t, w1a, w1b, enc_params["b1"], w2t,
-      enc_params["b2"], *layer_args)
+    )(parents_arr, pmask, q_t, w1a, w1b, b1, w2t, b2, *layer_args)
 
 
 def fused_distance_and_grad(
@@ -215,7 +391,7 @@ def fused_distance_and_grad(
     parents: Tuple[int, ...],
     activation: str = "lrelu",
     beta: float = 100.0,
-    tile_b: int = 512,
+    tile_b: int = 1024,
     normalize_input: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused (d, dd/dquat): (B, 21, 4) -> ((B, 1), (B, 21, 4)).
@@ -227,11 +403,10 @@ def fused_distance_and_grad(
     solvers that use it (projection, experiment optimizers) treat the
     gradient as a descent direction, not part of a larger autodiff graph.
 
-    tile_b = 512 (the validated VMEM maximum: weights 5.5 MB + stored DFNet
-    pre-activations tile x 2625 floats = 5.4 MB + encoder scratch ~= 12 MB)
-    measures 18.9M value-and-grads/s on a v5e chip at 65k batch vs 9.6M for
-    XLA forward + vjp — 2x. Below ~16k poses the XLA path's lower fixed cost
-    wins; prefer ``fused=False`` there (see ``projection.project``).
+    At tile_b = 1024 this measures 22.4M value-and-grads/s on a v5e chip at
+    131k batch vs 9.6M for XLA fwd+vjp (2.3x). Below ~16k poses the XLA
+    path's lower fixed cost wins; prefer ``fused=False`` there (see
+    ``projection.project``).
     """
     from posendf_tpu.quat import joint_axis_normalize
 
@@ -255,3 +430,95 @@ def fused_distance_and_grad(
     if normalize_input:
         (g,) = norm_vjp(g)
     return d[:B], g[:B]
+
+
+def _proj_step_core(q_t, enc_params, dfnet_params, parents, activation, beta,
+                    num_layers, tile_b, renormalize, step_scale, tangent,
+                    normalize_input):
+    """One projection step on the (J, 4, Bp) carry -> (d (Bp,1), q_next)."""
+    J, _, B = q_t.shape
+    (parents_arr, pmask, w1a, w1b, b1, w2t, b2,
+     layer_args, layer_specs, dims) = _weight_operands(
+        enc_params, dfnet_params, parents, num_layers, q_t.dtype)
+    H = w1a.shape[1]
+    F = w1b.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // tile_b,),
+        in_specs=_common_specs(J, H, F, tile_b) + layer_specs,
+        out_specs=(
+            pl.BlockSpec((tile_b, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, 4, tile_b), lambda i, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        # gx pose-shaped scratch on top of the shared field set
+        scratch_shapes=_field_scratches(J, H, F, tile_b, dims, activation,
+                                        extra_pose_bufs=1),
+    )
+    kernel = functools.partial(
+        _proj_kernel, num_joints=J, num_layers=num_layers,
+        activation=activation, beta=beta, renormalize=renormalize,
+        step_scale=step_scale, tangent=tangent,
+        normalize_input=normalize_input)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), q_t.dtype),
+            jax.ShapeDtypeStruct((J, 4, B), q_t.dtype),
+        ),
+    )(parents_arr, pmask, q_t, w1a, w1b, b1, w2t, b2, *layer_args)
+
+
+def fused_project(
+    poses: jax.Array,          # (B, 21, 4)
+    enc_params,
+    dfnet_params,
+    *,
+    parents: Tuple[int, ...],
+    steps: int,
+    activation: str = "lrelu",
+    beta: float = 100.0,
+    renormalize: bool = True,
+    step_scale: float = 1.0,
+    tangent: bool = False,
+    normalize_input: bool = True,
+    tile_b: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Whole manifold projection with the per-step kernel: each scan step is
+    ONE Pallas program (normalize + field fwd/bwd + update + renorm), the
+    carry staying in the kernel's (J, 4, B) layout — no per-step XLA ops.
+
+    Semantics match ``projection.project`` (reference update
+    ``sample_poses.py:74`` + optional renorm / tangent modes). Returns
+    (projected (B, 21, 4), history (steps, B)).
+
+    Measured on a v5e chip: 131k poses x 50 steps in 0.39 s vs 1.10 s for
+    the XLA scan (2.85x); at the 10k-pose benchmark config the two are at
+    parity (~0.14 s for 200 steps) — XLA's fixed costs are lower, the
+    kernel's throughput is higher, crossover ~16k poses.
+    """
+    B = poses.shape[0]
+    num_layers = 0
+    while f"w{num_layers}" in dfnet_params:
+        num_layers += 1
+    tile_b = min(tile_b, max(128, 1 << (B - 1).bit_length()))
+    pad = (-B) % tile_b
+    if pad:
+        poses = jnp.concatenate(
+            [poses, jnp.zeros((pad,) + poses.shape[1:], poses.dtype)], axis=0)
+    q_t = jnp.transpose(poses, (1, 2, 0))                  # (J, 4, Bp)
+
+    def step(q, _):
+        d, q_next = _proj_step_core(
+            q, enc_params, dfnet_params, tuple(parents), activation, beta,
+            num_layers, tile_b, bool(renormalize), float(step_scale),
+            bool(tangent), bool(normalize_input))
+        return q_next, d[:, 0]
+
+    out_t, history = jax.lax.scan(step, q_t, None, length=steps)
+    out = jnp.transpose(out_t, (2, 0, 1))                  # (Bp, J, 4)
+    return out[:B], history[:, :B]

@@ -64,9 +64,10 @@ def project(
         S^3 before stepping (removes the radial component the reference's
         ambient-space step wastes on leaving the sphere) — Riemannian
         gradient descent on (S^3)^21 instead of step-then-retract.
-      fused: evaluate (d, grad d) with the single fused Pallas kernel
-        (``ops/fused_grad.py``) instead of XLA forward + ``jax.vjp`` — the
-        TPU fast path; requires the standard encoder+DFNet architecture.
+      fused: run each step as ONE Pallas program (normalize + field
+        forward/backward + update + renorm, ``ops/fused_grad.py``) with the
+        scan carry kept in the kernel's native (J, 4, B) layout — the TPU
+        fast path; requires the standard encoder+DFNet architecture.
 
     Returns:
       (projected_poses (B, 21, 4), distance_history (steps, B)) — the history
@@ -74,24 +75,20 @@ def project(
       reproducible without breaking the jit.
     """
 
+    if fused:
+        from posendf_tpu.ops.fused_grad import fused_project
+
+        return fused_project(
+            poses, params["enc"], params["dfnet"], parents=module.parents,
+            steps=steps, activation=module.activation, beta=module.beta,
+            renormalize=renormalize, step_scale=step_scale, tangent=tangent)
+
     def dist_fn(p):
         return module.apply({"params": params}, p)
 
-    if fused:
-        from posendf_tpu.ops.fused_grad import fused_distance_and_grad
-
-        def value_and_grad(q):
-            return fused_distance_and_grad(
-                q, params["enc"], params["dfnet"], parents=module.parents,
-                activation=module.activation, beta=module.beta)
-    else:
-        def value_and_grad(q):
-            d, pullback = jax.vjp(dist_fn, q)
-            (g,) = pullback(jnp.ones_like(d))
-            return d, g
-
     def step(q, _):
-        d, g = value_and_grad(q)
+        d, pullback = jax.vjp(dist_fn, q)
+        (g,) = pullback(jnp.ones_like(d))
         if tangent:
             # remove the component of g along q (per joint): g_tan = g - <g,q> q
             radial = jnp.sum(g * q, axis=-1, keepdims=True)

@@ -84,3 +84,37 @@ def test_fused_projection_matches_xla(model, rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(hist), np.asarray(hist_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["no-renorm", "tangent", "scaled"])
+def test_fused_projection_modes(model, rng, mode):
+    """Every project() mode goes through the same in-kernel step math."""
+    module, params = model
+    q = _poses(rng, 150)  # non-multiple of tile exercises padding
+    kw = {"no-renorm": dict(renormalize=False),
+          "tangent": dict(tangent=True),
+          "scaled": dict(step_scale=0.5)}[mode]
+    out_ref, hist_ref = project(module, params, q, steps=3, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out, hist = project(module, params, q, steps=3, fused=True, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hist), np.asarray(hist_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_projection_softplus(rng):
+    """Non-trivial field values + fp32 pre-activation storage path."""
+    cfg = PoseNDFConfig()
+    cfg.dfnet.act = "softplus"
+    cfg.strenc.act = "softplus"
+    module = cfg.make_model()
+    params = module.init(jax.random.key(2), jnp.zeros((1, 21, 4)))["params"]
+    q = _poses(rng, 128)
+    out_ref, hist_ref = project(module, params, q, steps=3)
+    with pltpu.force_tpu_interpret_mode():
+        out, hist = project(module, params, q, steps=3, fused=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hist), np.asarray(hist_ref),
+                               rtol=1e-4, atol=1e-7)
