@@ -208,6 +208,43 @@ def main():
     except Exception:
         train_ms = None
 
+    # ---------- serving-batch fused projection (131k x 50 steps) ----------
+    proj_big_s = None
+    try:
+        B3 = 1 << 17
+        big_poses = jnp.concatenate([pose, pose])[:B3]
+
+        def proj_big():
+            out, _ = project(module, params, big_poses, steps=50, fused=True)
+            return jnp.sum(out)
+
+        pb_jit = jax.jit(proj_big)
+        float(pb_jit())
+        proj_big_s = timed(pb_jit)
+    except Exception:
+        proj_big_s = None
+
+    # ---------- kNN labeling throughput (the faiss replacement) -----------
+    # exact single-stage geodesic top-5 of noisy queries against a 262k-pose
+    # corpus — the data-manufacturing hot loop (prepare.label_sequence)
+    knn_qps = None
+    try:
+        from posendf_tpu.ops.knn import geodesic_topk
+
+        corpus = jnp.concatenate([pose, pose])[: 1 << 18]
+        queries = pose[:4096]
+
+        @jax.jit
+        def knn_once(queries, corpus):
+            d, idx = geodesic_topk(queries, corpus, k=5)
+            return jnp.sum(d) + idx[0, 0]
+
+        float(knn_once(queries, corpus))
+        knn_s = timed(lambda: knn_once(queries, corpus))
+        knn_qps = queries.shape[0] / knn_s
+    except Exception:
+        knn_qps = None
+
     target = 1_000_000.0
     print(json.dumps({
         "metric": "ndf_fwd_evals_per_sec_per_chip",
@@ -227,6 +264,10 @@ def main():
             "bf16_evals_per_sec": round(bf16_evals, 1) if bf16_evals else None,
             "fused_value_and_grad_per_sec":
                 round(vag_fused, 1) if vag_fused else None,
+            "projection_50step_131k_fused_s":
+                round(proj_big_s, 4) if proj_big_s else None,
+            "knn_geodesic_top5_262k_corpus_qps":
+                round(knn_qps, 1) if knn_qps else None,
         },
     }))
 
