@@ -133,7 +133,8 @@ def main():
             def body(i, acc):
                 d, g = fused_distance_and_grad(
                     pose + acc * 0, params["enc"], params["dfnet"],
-                    parents=module.parents)
+                    parents=module.parents, activation=module.activation,
+                    beta=module.beta)
                 return acc + jnp.sum(d) + jnp.sum(g[0, 0])
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
@@ -211,11 +212,8 @@ def main():
     # ---------- serving-batch fused projection (131k x 50 steps) ----------
     proj_big_s = None
     try:
-        B3 = 1 << 17
-        big_poses = jnp.concatenate([pose, pose])[:B3]
-
-        def proj_big():
-            out, _ = project(module, params, big_poses, steps=50, fused=True)
+        def proj_big():  # serving batch = the full 131k pose buffer
+            out, _ = project(module, params, pose, steps=50, fused=True)
             return jnp.sum(out)
 
         pb_jit = jax.jit(proj_big)

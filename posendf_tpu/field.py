@@ -61,6 +61,10 @@ class Field:
             raise ValueError(
                 "distance_and_grad_fused supports the standard encoder+DFNet "
                 "architecture (use_encoder=True, ff_enc=False)")
+        if m.compute_dtype != "float32":
+            raise ValueError(
+                "distance_and_grad_fused computes in fp32; for "
+                f"compute_dtype={m.compute_dtype!r} use distance_and_grad")
         pose = pose.reshape(-1, m.num_joints, 4)
         return fused_distance_and_grad(
             pose, self.params["enc"], self.params["dfnet"],

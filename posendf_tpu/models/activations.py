@@ -14,10 +14,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = [
-    "make_activation", "make_output_activation", "resolve",
-    "make_activation_grad", "make_output_activation_grad",
-]
+__all__ = ["make_activation", "make_output_activation", "resolve"]
 
 
 def _leaky_relu(x: jax.Array) -> jax.Array:
@@ -57,27 +54,11 @@ def resolve(name: str, beta: float = 100.0) -> Tuple[Callable, Callable]:
     return make_activation(name, beta), make_output_activation(name, beta)
 
 
-def make_activation_grad(name: str, beta: float = 100.0) -> Callable[[jax.Array], jax.Array]:
-    """d(activation)/dz as a function of the PRE-activation z.
-
-    Subgradient choices at z == 0 match what JAX's autodiff produces for the
-    forward functions above (``jax.nn.relu`` defines relu'(0) = 0 via its
-    custom JVP; ``jax.nn.leaky_relu`` is ``where(z >= 0, ...)`` so its
-    derivative at 0 takes the positive branch) — the fused backward kernels
-    (``ops/fused_grad.py``) rely on this to match ``jax.vjp`` exactly.
-    """
-    if name == "lrelu":
-        return lambda z: jnp.where(z >= 0, jnp.ones_like(z), jnp.full_like(z, 0.01))
-    if name == "relu":
-        return lambda z: (z > 0).astype(z.dtype)
-    if name == "softplus":
-        return lambda z: jax.nn.sigmoid(beta * z)
-    raise ValueError(f"unknown activation {name!r}; expected lrelu|relu|softplus")
-
-
-def make_output_activation_grad(name: str, beta: float = 100.0) -> Callable[[jax.Array], jax.Array]:
-    if name in ("lrelu", "relu"):
-        return lambda z: (z > 0).astype(z.dtype)
-    if name == "softplus":
-        return lambda z: jax.nn.sigmoid(beta * z)
-    raise ValueError(f"unknown activation {name!r}; expected lrelu|relu|softplus")
+# Activation-DERIVATIVE semantics used by the fused backward kernels live in
+# ops/fused_grad.py (_act_store/_act_grad/_out_act_grad_from_value): the
+# kernels store compact per-unit state in the forward pass and reconstruct
+# the derivative from it, which doesn't decompose into a plain z -> act'(z)
+# helper. Subgradient choices at z == 0 there match what JAX's autodiff
+# produces for the forward functions above (``jax.nn.relu`` defines
+# relu'(0) = 0 via its custom JVP; ``jax.nn.leaky_relu`` is
+# ``where(z >= 0, ...)`` so its derivative at 0 takes the positive branch).

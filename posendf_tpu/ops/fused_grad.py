@@ -36,14 +36,15 @@ Backward math (input cotangent only, unit output cotangent):
   all children before their parent.)
 
 Activation-derivative state is stored compactly: for lrelu/relu the
-derivative is two-valued ({1, 0.01} / {1, 0} — exact in bfloat16), so the
-forward stashes the derivative VALUE in bf16 (half the fp32 pre-activation
-footprint — frees VMEM for bigger batch tiles); softplus needs
-sigmoid(beta*z), so fp32 pre-activations are kept. The output layer stores
-nothing: its derivative is recovered from the distance value itself.
-Derivative semantics at z == 0 match JAX's autodiff of the forward functions
-exactly (see ``models/activations.py``), so these kernels are bit-comparable
-to ``jax.vjp`` of the XLA model.
+derivative is two-valued, so the forward stashes a {1, 0} SELECTOR in bf16
+(half the fp32 pre-activation footprint — frees VMEM for bigger batch
+tiles) and the backward reconstructs the derivative in fp32 (lrelu's 0.01
+slope is not bf16-representable, so storing the value itself would lose
+exactness); softplus needs sigmoid(beta*z), so fp32 pre-activations are
+kept. The output layer stores nothing: its derivative is recovered from the
+distance value itself. Derivative semantics at z == 0 match JAX's autodiff
+of the forward functions, so these kernels are bit-comparable to
+``jax.vjp`` of the XLA model.
 """
 
 from __future__ import annotations
@@ -71,14 +72,16 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 def _act_store(activation, z):
     """Forward-pass derivative state for z.
 
-    lrelu/relu derivatives are two-valued ({1, 0.01} / {1, 0}) and exactly
-    representable in bfloat16, so the DERIVATIVE VALUE is stored directly at
-    half the fp32 footprint (int8 selectors would be 4x smaller still, but
-    i1->int8 stores trip a Mosaic relayout bug). softplus needs
-    sigmoid(beta*z), so the fp32 pre-activation is kept.
+    lrelu/relu derivatives are two-valued, so only a {1, 0} SELECTOR is
+    stored, as bfloat16 (both values exact; half the fp32 pre-activation
+    footprint — int8 would be 4x smaller still, but i1->int8 stores trip a
+    Mosaic relayout bug). The actual derivative value is reconstructed in
+    fp32 by ``_act_grad``, so lrelu's 0.01 slope (NOT bf16-representable)
+    stays exact. softplus needs sigmoid(beta*z), so the fp32 pre-activation
+    is kept.
     """
     if activation == "lrelu":
-        return jnp.where(z >= 0, 1.0, 0.01).astype(jnp.bfloat16)
+        return jnp.where(z >= 0, 1.0, 0.0).astype(jnp.bfloat16)
     if activation == "relu":
         return jnp.where(z > 0, 1.0, 0.0).astype(jnp.bfloat16)
     return z
@@ -86,7 +89,13 @@ def _act_store(activation, z):
 
 def _act_grad(activation, beta, stored):
     """Derivative of the hidden activation from the stored state."""
-    if activation in ("lrelu", "relu"):
+    if activation == "lrelu":
+        # upcast BEFORE comparing: a comparison on the bf16 value produces an
+        # i1 mask in bf16 (16, 128) layout that Mosaic cannot relayout to the
+        # fp32 select operands ("Invalid relayout ... i1")
+        sel = stored.astype(jnp.float32)
+        return jnp.where(sel != 0, 1.0, 0.01).astype(jnp.float32)
+    if activation == "relu":
         return stored.astype(jnp.float32)
     return jax.nn.sigmoid(beta * stored)
 

@@ -78,6 +78,14 @@ def project(
     if fused:
         from posendf_tpu.ops.fused_grad import fused_project
 
+        if not module.use_encoder or module.ff_enc:
+            raise ValueError(
+                "project(fused=True) supports the standard encoder+DFNet "
+                "architecture (use_encoder=True, ff_enc=False)")
+        if module.compute_dtype != "float32":
+            raise ValueError(
+                "project(fused=True) computes in fp32; for "
+                f"compute_dtype={module.compute_dtype!r} use fused=False")
         return fused_project(
             poses, params["enc"], params["dfnet"], parents=module.parents,
             steps=steps, activation=module.activation, beta=module.beta,
