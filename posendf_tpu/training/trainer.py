@@ -122,16 +122,20 @@ class Trainer:
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
             batch_shardings = {"pose": data, "dist": data, "man_poses": data}
+            # donate params/opt_state: XLA updates them in place instead of
+            # allocating fresh buffers every step (they are reassigned from
+            # the outputs in train_step, so the stale aliases are never read)
             self._step = jax.jit(
                 step,
                 in_shardings=(repl, repl, batch_shardings),
                 out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
             )
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
             self.batch_sharding = data
         else:
-            self._step = jax.jit(step)
+            self._step = jax.jit(step, donate_argnums=(0, 1))
             self.batch_sharding = None
 
     def train_step(self, batch) -> Dict[str, float]:
