@@ -1,0 +1,96 @@
+"""Serving demo: high-throughput batch pose generation on TPU.
+
+The production inference pattern for the pose prior: take a large batch of
+candidate poses (random init here; in practice e.g. network predictions or
+retrieval results) and project them all onto the learned manifold with the
+single-kernel fused projection path (``ops/fused_grad.py``).
+
+    python examples/serving.py [--batch 131072] [--steps 50] [--ckpt PATH]
+
+On a v5e chip, 131k poses x 50 projection steps complete in ~0.39 s
+(~17M pose-steps/s) — 2.85x the already-jitted XLA scan. Below ~16k poses
+the plain ``fused=False`` path wins on fixed costs; this script picks
+automatically. With ``--ckpt`` it serves a real trained field (either an
+Orbax directory or a reference-format torch ``.tar``); without, an
+untrained softplus model demonstrates the mechanics hermetically.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FUSED_CROSSOVER = 16384  # poses; below this XLA's lower fixed cost wins
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=131072)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--ckpt", default=None,
+                    help="Orbax checkpoint dir or reference torch .tar")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from posendf_tpu.config import PoseNDFConfig
+    from posendf_tpu.projection import project, random_poses
+
+    cfg = PoseNDFConfig()
+    if args.ckpt is None:
+        # untrained demo model; softplus so field values are non-trivial
+        cfg.dfnet.act = "softplus"
+        cfg.strenc.act = "softplus"
+    module = cfg.make_model()
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    if args.ckpt is not None:
+        if args.ckpt.endswith(".tar"):
+            from posendf_tpu.training.torch_import import load_torch_checkpoint
+            params, epoch = load_torch_checkpoint(args.ckpt)
+            print(f"loaded torch checkpoint (epoch {epoch})")
+        else:
+            from posendf_tpu.training.checkpoints import CheckpointStore
+            restored = CheckpointStore(args.ckpt).restore({"params": params})
+            if restored is None:
+                raise SystemExit(f"no checkpoint found under {args.ckpt}")
+            params = restored[0]["params"]
+            print(f"loaded Orbax checkpoint (epoch {restored[1]})")
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}; batch {args.batch} x {args.steps} steps")
+    poses = jax.device_put(random_poses(jax.random.key(1), args.batch), dev)
+
+    fused = args.batch >= FUSED_CROSSOVER
+
+    # keep the timed computation scalar-returning: returning the full
+    # (steps, B) history through a remote-TPU relay adds transfer time, and
+    # relayed ``block_until_ready`` can return early — a scalar readback is
+    # the only hard sync (see bench.py)
+    @jax.jit
+    def run(p):
+        out, hist = project(module, params, p, steps=args.steps, fused=fused)
+        return hist[0].mean(), hist[-1].mean(), jnp.sum(out)
+
+    d0, d1, _ = run(poses)          # compile
+    float(d1)
+    t0 = time.perf_counter()
+    d0, d1, _ = run(poses)
+    final_mean = float(d1)          # scalar readback = hard sync
+    dt = time.perf_counter() - t0
+
+    rate = args.batch * args.steps / dt
+    print(f"path: {'fused kernel' if fused else 'XLA scan'}")
+    print(f"{dt:.4f} s -> {rate/1e6:.1f}M pose-steps/s")
+    print(f"mean field distance: {float(d0):.3e} -> {final_mean:.3e}")
+
+
+if __name__ == "__main__":
+    main()
