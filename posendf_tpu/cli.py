@@ -101,8 +101,9 @@ def cmd_train(args):
             trainer.fit(batcher, epochs=1)
             # reference cadence: validate every 100 epochs (trainer.py:23-24)
             if val_batcher is not None and trainer.epoch % 100 == 0:
-                stats = trainer.validate(iter([val_batcher.sample_batch()
-                                               for _ in range(len(val_batcher))]))
+                stats = trainer.validate(
+                    val_batcher.sample_batch()
+                    for _ in range(len(val_batcher)))
                 print(f"val epoch {trainer.epoch}: total={stats['total']:.6f}")
 
 
@@ -118,8 +119,11 @@ def cmd_generate(args):
     noisy = random_poses(key, args.num_poses)
     out, hist = project(module, params, noisy, steps=args.steps,
                         renormalize=not args.no_renorm)
-    print(f"projected {args.num_poses} poses, {args.steps} steps: "
-          f"mean dist {float(hist[0].mean()):.6f} -> {float(hist[-1].mean()):.6f}")
+    if args.steps > 0:
+        print(f"projected {args.num_poses} poses, {args.steps} steps: "
+              f"mean dist {float(hist[0].mean()):.6f} -> {float(hist[-1].mean()):.6f}")
+    else:
+        print(f"projected {args.num_poses} poses, 0 steps (passthrough)")
     if args.out:
         np.savez(args.out, pose=np.asarray(out), pose_init=np.asarray(noisy),
                  dist_history=np.asarray(hist))

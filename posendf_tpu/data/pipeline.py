@@ -228,28 +228,53 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
     failure = []
+    cancel = threading.Event()  # set when the consumer abandons the generator
+
+    def _put(item) -> bool:
+        """put that gives up when the consumer cancelled (a plain blocking
+        put would leave the thread stuck forever holding device batches if
+        the generator is dropped mid-epoch, e.g. a failing train step)."""
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in iterator:
+                if cancel.is_set():
+                    return
                 if sharding is not None:
                     batch = jax.tree_util.tree_map(
                         lambda x: jax.device_put(x, sharding), batch
                     )
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
-                q.put(batch)
+                if not _put(batch):
+                    return
         except BaseException as e:  # propagate to the consumer, don't swallow
             failure.append(e)
         finally:
-            q.put(stop)
+            _put(stop)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if failure:
-                raise failure[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if failure:
+                    raise failure[0]
+                break
+            yield item
+    finally:
+        cancel.set()
+        while True:  # release any batches the worker already queued
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from posendf_tpu.experiments.camera import init_camera, project_points
-from posendf_tpu.experiments.optim import AnnealSpec, run_annealed_adam
+from posendf_tpu.experiments.optim import AnnealSpec, make_annealed_solver
 from posendf_tpu.quat import axis_angle_to_quaternion
 from posendf_tpu.smpl import BodyModel
 from posendf_tpu.smpl.lbs import lbs_forward
@@ -62,6 +62,14 @@ SMPL_TO_OPENPOSE = np.array([
 
 TORSO_OPENPOSE_IDXS = (9, 12, 2, 5)  # reference init_joints_idxs (:30)
 
+STAGE1_SPECS = {"data": AnnealSpec(scale=1.0), "depth": AnnealSpec(scale=100.0)}
+STAGE2_SPECS = {"data": AnnealSpec(scale=1.0),
+                "pose_pr": AnnealSpec(scale=100.0, power=1, anneal=-1.0)}
+STAGE3_SPECS = {
+    "pose_pr": AnnealSpec(scale=100.0, power=1, anneal=-1.0),
+    "data": AnnealSpec(scale=10.0, power=1, anneal=-1.0, active_after=0),
+}
+
 
 class ImageFitter:
     def __init__(self, module, params, body_model: BodyModel,
@@ -71,12 +79,72 @@ class ImageFitter:
         self.body_model = body_model
         self.trans_estimation = trans_estimation
         self.focal_length = focal_length
+        # stage solvers cached by (batch, iterations, steps_per_iter): all
+        # per-image data flows through the solver's aux pytree, so fitting a
+        # folder of same-shaped keypoint files compiles each stage ONCE (the
+        # MotionDenoiser pattern; recompiling is seconds per image, minutes
+        # over a remote-compile relay)
+        self._solvers = {}
 
     def _mapped_joints(self, joints: jax.Array) -> jax.Array:
         """(B, 24, 3) SMPL joints -> (B, 25, 3) OpenPose-ordered (invalid
         slots filled with joint 0; masked by weights)."""
         gather = np.where(SMPL_TO_OPENPOSE >= 0, SMPL_TO_OPENPOSE, 0)
         return joints[:, gather, :]
+
+    def _get_solvers(self, B: int, iterations: int, steps_per_iter: int):
+        key = (B, iterations, steps_per_iter)
+        if key in self._solvers:
+            return self._solvers[key]
+
+        smpl_model = self.body_model.model
+        module, params = self.module, self.params
+        n_betas = self.body_model.num_betas
+        focal = self.focal_length
+        trans_est = self.trans_estimation
+        torso = np.asarray(TORSO_OPENPOSE_IDXS)
+
+        def fk(betas, orient, pose):
+            return lbs_forward(smpl_model, betas, orient, pose)
+
+        def stage1_terms(p, aux):
+            _, joints = fk(jnp.zeros((B, n_betas)), p["global_orient"],
+                           jnp.zeros((B, 69)))
+            cam = {"rotation": aux["rot0"], "translation": p["translation"]}
+            proj = project_points(cam, self._mapped_joints(joints), focal,
+                                  aux["center"])
+            err = jnp.sum((proj[:, torso] - aux["gt_xy"][:, torso]) ** 2)
+            depth = jnp.sum((p["translation"][:, 2] - trans_est) ** 2)
+            return {"data": err, "depth": depth}
+
+        def stage2_terms(p, aux):
+            _, joints = fk(p["betas"], p["global_orient"], p["pose_body"])
+            cam = {"rotation": aux["rot0"], "translation": aux["translation"]}
+            proj = project_points(cam, self._mapped_joints(joints), focal,
+                                  aux["center"])
+            conf = aux["conf"]
+            err = jnp.sum(conf[..., None] * (proj - aux["gt_xy"]) ** 2) \
+                / (jnp.sum(conf) + 1e-8)
+            quat = axis_angle_to_quaternion(p["pose_body"].reshape(B, 23, 3)[:, :21])
+            prior = jnp.mean(module.apply({"params": params}, quat))
+            return {"data": err, "pose_pr": prior}
+
+        def stage3_terms(pose_body, aux):
+            quat = axis_angle_to_quaternion(pose_body.reshape(B, 23, 3)[:, :21])
+            prior = jnp.mean(module.apply({"params": params}, quat))
+            _, joints = fk(aux["betas"], aux["orient"], pose_body)
+            data = jnp.mean(jnp.sqrt(
+                jnp.sum((joints - aux["anchor_joints"]) ** 2, -1) + 1e-12))
+            return {"pose_pr": prior, "data": data}
+
+        kw = dict(iterations=iterations, steps_per_iter=steps_per_iter, lr=0.02)
+        solvers = (
+            make_annealed_solver(stage1_terms, STAGE1_SPECS, **kw),
+            make_annealed_solver(stage2_terms, STAGE2_SPECS, **kw),
+            make_annealed_solver(stage3_terms, STAGE3_SPECS, **kw),
+        )
+        self._solvers[key] = solvers
+        return solvers
 
     def optimize(
         self,
@@ -96,80 +164,40 @@ class ImageFitter:
         center_arr = (jnp.tile(jnp.asarray(center, jnp.float32)[None], (B, 1))
                       if center is not None else jnp.zeros((B, 2)))
 
-        smpl_model = self.body_model.model
-        module, params = self.module, self.params
         n_betas = self.body_model.num_betas
-        focal = self.focal_length
+        solve1, solve2, solve3 = self._get_solvers(B, iterations, steps_per_iter)
 
         def fk(betas, orient, pose):
-            return lbs_forward(smpl_model, betas, orient, pose)
+            return lbs_forward(self.body_model.model, betas, orient, pose)
 
         # ---- stage 1: camera translation + global orient on torso joints
         cam0 = init_camera(B)
         cam0["translation"] = cam0["translation"].at[:, 2].set(self.trans_estimation)
-        torso = np.asarray(TORSO_OPENPOSE_IDXS)
-
+        rot0 = cam0["rotation"]
         stage1_init = {"translation": cam0["translation"],
                        "global_orient": jnp.zeros((B, 3))}
-        rot0 = cam0["rotation"]
-
-        def stage1_terms(p):
-            _, joints = fk(jnp.zeros((B, n_betas)), p["global_orient"],
-                           jnp.zeros((B, 69)))
-            cam = {"rotation": rot0, "translation": p["translation"]}
-            proj = project_points(cam, self._mapped_joints(joints), focal, center_arr)
-            err = jnp.sum((proj[:, torso] - gt_xy[:, torso]) ** 2)
-            depth = jnp.sum((p["translation"][:, 2] - self.trans_estimation) ** 2)
-            return {"data": err, "depth": depth}
-
-        stage1_specs = {"data": AnnealSpec(scale=1.0), "depth": AnnealSpec(scale=100.0)}
-        p1, h1 = run_annealed_adam(stage1_terms, stage1_init, stage1_specs,
-                                   iterations=iterations,
-                                   steps_per_iter=steps_per_iter, lr=0.02)
+        p1, h1 = solve1(stage1_init,
+                        {"rot0": rot0, "center": center_arr, "gt_xy": gt_xy})
 
         # ---- stage 2: full body (pose, orient, betas) vs all keypoints + prior
         translation = jax.lax.stop_gradient(p1["translation"])
-        cam = {"rotation": rot0, "translation": translation}
         stage2_init = {
             "pose_body": jnp.zeros((B, 69)),
             "global_orient": jax.lax.stop_gradient(p1["global_orient"]),
             "betas": jnp.zeros((B, n_betas)),
         }
-
-        def stage2_terms(p):
-            verts, joints = fk(p["betas"], p["global_orient"], p["pose_body"])
-            proj = project_points(cam, self._mapped_joints(joints), focal, center_arr)
-            err = jnp.sum(conf[..., None] * (proj - gt_xy) ** 2) / (jnp.sum(conf) + 1e-8)
-            quat = axis_angle_to_quaternion(p["pose_body"].reshape(B, 23, 3)[:, :21])
-            prior = jnp.mean(module.apply({"params": params}, quat))
-            return {"data": err, "pose_pr": prior}
-
-        stage2_specs = {"data": AnnealSpec(scale=1.0),
-                        "pose_pr": AnnealSpec(scale=100.0, power=1, anneal=-1.0)}
-        p2, h2 = run_annealed_adam(stage2_terms, stage2_init, stage2_specs,
-                                   iterations=iterations,
-                                   steps_per_iter=steps_per_iter, lr=0.02)
+        p2, h2 = solve2(stage2_init,
+                        {"rot0": rot0, "center": center_arr, "gt_xy": gt_xy,
+                         "conf": conf, "translation": translation})
 
         # ---- stage 3: pose refinement around the stage-2 solution
         _, anchor_joints = fk(p2["betas"], p2["global_orient"], p2["pose_body"])
         anchor_joints = jax.lax.stop_gradient(anchor_joints)
         betas2 = jax.lax.stop_gradient(p2["betas"])
         orient2 = jax.lax.stop_gradient(p2["global_orient"])
-
-        def stage3_terms(pose_body):
-            quat = axis_angle_to_quaternion(pose_body.reshape(B, 23, 3)[:, :21])
-            prior = jnp.mean(module.apply({"params": params}, quat))
-            _, joints = fk(betas2, orient2, pose_body)
-            data = jnp.mean(jnp.sqrt(jnp.sum((joints - anchor_joints) ** 2, -1) + 1e-12))
-            return {"pose_pr": prior, "data": data}
-
-        stage3_specs = {
-            "pose_pr": AnnealSpec(scale=100.0, power=1, anneal=-1.0),
-            "data": AnnealSpec(scale=10.0, power=1, anneal=-1.0, active_after=0),
-        }
-        pose3, h3 = run_annealed_adam(stage3_terms, p2["pose_body"], stage3_specs,
-                                      iterations=iterations,
-                                      steps_per_iter=steps_per_iter, lr=0.02)
+        pose3, h3 = solve3(p2["pose_body"],
+                           {"betas": betas2, "orient": orient2,
+                            "anchor_joints": anchor_joints})
 
         result = {
             "pose_body": pose3,

@@ -41,6 +41,10 @@ class Field:
             raise ValueError(
                 "distance_fused supports the standard encoder+DFNet "
                 "architecture (use_encoder=True, ff_enc=False)")
+        if m.compute_dtype != "float32":
+            raise ValueError(
+                "distance_fused computes in fp32; for "
+                f"compute_dtype={m.compute_dtype!r} use distance")
         pose = pose.reshape(-1, m.num_joints, 4)
         return fused_posendf_forward(
             pose, self.params["enc"], self.params["dfnet"],

@@ -84,40 +84,21 @@ def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
     J = len(parents)
     x = joint_axis_normalize(quat) if normalize_input else quat
 
-    q_t = jnp.transpose(x, (1, 2, 0))                  # (J, 4, B)
-    w1 = enc_params["w1"]
-    w1a = jnp.transpose(w1[:, :4, :], (0, 2, 1))
-    w1b = jnp.transpose(w1[:, 4:, :], (0, 2, 1))
-    w2t = jnp.transpose(enc_params["w2"], (0, 2, 1))
-    F = enc_params["w2"].shape[-1]
-    parents_arr = jnp.asarray(parents, jnp.int32)
-    pmask = jnp.asarray([0.0 if p == -1 else 1.0 for p in parents], quat.dtype)
+    # weight-operand prep and block specs are shared with the value-and-grad
+    # kernels — one source of truth for the parity-critical layouts
+    from posendf_tpu.ops.fused_grad import _common_specs, _weight_operands
 
-    layer_args = []
-    layer_specs = []
-    for l in range(num_layers):
-        w = dfnet_params[f"w{l}"]
-        b = dfnet_params[f"b{l}"]
-        layer_args += [w, b]
-        layer_specs += [
-            pl.BlockSpec(w.shape, lambda i, *_, n=w.ndim: (0,) * n,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b.shape, lambda i, *_, n=b.ndim: (0,) * n,
-                         memory_space=pltpu.VMEM),
-        ]
+    q_t = jnp.transpose(x, (1, 2, 0))                  # (J, 4, B)
+    (parents_arr, pmask, w1a, w1b, b1, w2t, b2,
+     layer_args, layer_specs, _dims) = _weight_operands(
+        enc_params, dfnet_params, parents, num_layers, quat.dtype)
+    H = w1a.shape[1]
+    F = w1b.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // tile_b,),
-        in_specs=[
-            pl.BlockSpec((J, 4, tile_b), lambda i, *_: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 10, 4), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 10, F), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, 10), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, F, 10), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, F), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        ] + layer_specs,
+        in_specs=_common_specs(J, H, F, tile_b) + layer_specs,
         out_specs=pl.BlockSpec((tile_b, 1), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((J, F, tile_b), jnp.float32)],
@@ -129,8 +110,7 @@ def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1), quat.dtype),
-    )(parents_arr, pmask, q_t, w1a, w1b, enc_params["b1"], w2t,
-      enc_params["b2"], *layer_args)
+    )(parents_arr, pmask, q_t, w1a, w1b, b1, w2t, b2, *layer_args)
 
 
 def _fused_fwd(quat, enc_params, dfnet_params, parents, activation, beta,

@@ -45,20 +45,36 @@ def _pad_to_multiple(x: jax.Array, m: int, fill: float) -> jax.Array:
     return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "corpus_tile"))
+def _clamp_tile(corpus_tile: int, k: int, n: int) -> int:
+    """Shrink the streaming tile to the corpus size (rounded up to a lane
+    tile) so small corpora don't pad up to the full default tile — a 2k-pose
+    corpus under the 32k default would otherwise do 16x wasted matmul work.
+    Floor at max(k, 128): k rows for the running-merge width, 128 for lane
+    alignment."""
+    fitted = -(-n // 128) * 128
+    return max(min(corpus_tile, fitted), k, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "corpus_tile", "precision"))
 def l2_topk(
     queries: jax.Array,   # (Q, D)
     corpus: jax.Array,    # (N, D)
     k: int,
     corpus_tile: int = 32768,
+    precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact k smallest squared-L2 distances. Returns (dists (Q, k),
     indices (Q, k)), ascending. Matches faiss IndexFlatL2 semantics
-    (squared distances)."""
+    (squared distances).
+
+    ``precision="highest"`` keeps the distance matmul in true fp32 on TPU —
+    required for the exactness claim vs faiss (the "default" bf16 MXU passes
+    perturb distances ~1e-3 and swap near-tie neighbors; pass
+    ``precision="default"`` for ~2x faster approximate labeling)."""
     Q, D = queries.shape
     N = corpus.shape[0]
     _check_k(k, N)
-    corpus_tile = max(corpus_tile, k, 128)  # at least k (merge width) + one lane tile
+    corpus_tile = _clamp_tile(corpus_tile, k, N)
     # padding is masked out by index validity below
     padded = _pad_to_multiple(corpus, corpus_tile, 0.0)
     n_tiles = padded.shape[0] // corpus_tile
@@ -71,7 +87,8 @@ def l2_topk(
         best_d, best_i = carry              # (Q, k) each
         tile, t_idx = inp                   # (T, D), scalar tile index
         c_sq = jnp.sum(tile * tile, axis=-1)[None, :]  # (1, T)
-        cross = jnp.dot(queries, tile.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(queries, tile.T, preferred_element_type=jnp.float32,
+                        precision=precision)
         d = q_sq + c_sq - 2.0 * cross       # (Q, T)
         base = t_idx * corpus_tile
         col = base + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
@@ -139,13 +156,14 @@ def euclidean_rerank(
     return -neg_top, jnp.take_along_axis(cand_idx, arg, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "corpus_tile"))
+@functools.partial(jax.jit, static_argnames=("k", "corpus_tile", "precision"))
 def geodesic_topk(
     query_quats: jax.Array,   # (Q, J, 4)
     corpus_quats: jax.Array,  # (N, J, 4)
     k: int,
     corpus_tile: int = 8192,
     weights: jax.Array | None = None,  # optional (J,) joint weights
+    precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact geodesic top-k over the WHOLE corpus — no candidate pre-filter.
 
@@ -158,7 +176,7 @@ def geodesic_topk(
     Q, J, _ = query_quats.shape
     N = corpus_quats.shape[0]
     _check_k(k, N)
-    corpus_tile = max(corpus_tile, k, 128)
+    corpus_tile = _clamp_tile(corpus_tile, k, N)
     padded = _pad_to_multiple(corpus_quats, corpus_tile, 0.0)
     n_tiles = padded.shape[0] // corpus_tile
     tiles = padded.reshape(n_tiles, corpus_tile, J, 4)
@@ -168,7 +186,8 @@ def geodesic_topk(
         best_d, best_i = carry
         tile, t_idx = inp                               # (T, J, 4)
         dots = jnp.einsum("qjd,njd->qnj", query_quats, tile,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         per_joint = 1.0 - jnp.abs(dots)
         if weights is not None:
             geo = jnp.einsum("qnj,j->qn", per_joint, weights)
@@ -192,13 +211,14 @@ def geodesic_topk(
     return dists, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "corpus_tile"))
+@functools.partial(jax.jit, static_argnames=("k", "corpus_tile", "precision"))
 def euclidean_topk(
     query_quats: jax.Array,   # (Q, J, 4)
     corpus_quats: jax.Array,  # (N, J, 4)
     k: int,
     corpus_tile: int = 8192,
     weights: jax.Array | None = None,  # optional (J,) joint weights
+    precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """EXACT per-joint-L2 top-k over the whole corpus (the ``euc`` metric of
     ``data/dist_utils.py:19-30``: mean over joints of ||q_j - c_j||, or the
@@ -212,7 +232,7 @@ def euclidean_topk(
     Q, J, _ = query_quats.shape
     N = corpus_quats.shape[0]
     _check_k(k, N)
-    corpus_tile = max(corpus_tile, k, 128)
+    corpus_tile = _clamp_tile(corpus_tile, k, N)
     padded = _pad_to_multiple(corpus_quats, corpus_tile, 0.0)
     n_tiles = padded.shape[0] // corpus_tile
     tiles = padded.reshape(n_tiles, corpus_tile, J, 4)
@@ -223,7 +243,8 @@ def euclidean_topk(
         best_d, best_i = carry
         tile, t_idx = inp                               # (T, J, 4)
         dots = jnp.einsum("qjd,njd->qnj", query_quats, tile,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         c_sq = jnp.sum(tile * tile, axis=-1)            # (T, J)
         per_joint_sq = jnp.maximum(
             q_sq[:, None, :] + c_sq[None, :, :] - 2.0 * dots, 0.0)

@@ -149,6 +149,19 @@ def test_image_fitter_end_to_end(field, body):
     assert np.isfinite(metrics["stage2_final_data"])
     assert metrics["stage1_final_data"] < 1e7  # torso error decreased from init
 
+    # second image of the same shape reuses the cached stage solvers (no
+    # per-image recompilation) and still produces a valid result
+    assert len(fitter._solvers) == 1
+    solvers = fitter._solvers[(1, 2, 10)]
+    keypoints2 = keypoints.copy()
+    keypoints2[:, :2] += rng.normal(scale=2.0, size=(25, 2))
+    result2, metrics2 = fitter.optimize(keypoints2, iterations=2, steps_per_iter=10)
+    assert fitter._solvers[(1, 2, 10)] is solvers
+    assert np.isfinite(metrics2["stage2_final_data"])
+    # different data must give a different fit (aux actually flows through)
+    assert not np.allclose(np.asarray(result2["pose_body"]),
+                           np.asarray(result["pose_body"]))
+
 
 def test_mesh_export_and_render(tmp_path, body):
     out = body(pose_body=jnp.zeros((2, 69)))
