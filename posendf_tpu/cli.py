@@ -295,6 +295,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--space", choices=["quat", "joints"], default="quat",
                    help="candidate-search embedding: raw quats or SMPL FK joints")
     p.add_argument("--bm-path", default=None, help="SMPL model for --space joints")
+    p.add_argument("--knn-precision", choices=["highest", "high", "default"],
+                   default="highest",
+                   help="matmul precision of the distance searches: 'highest' "
+                        "(default) is exact like faiss fp32; 'default' is "
+                        "single-pass bf16, ~2x faster with ~1e-3 distance "
+                        "noise that can swap near-tie neighbors")
     p.set_defaults(fn=cmd_prepare_data)
 
     return ap

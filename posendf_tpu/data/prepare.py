@@ -237,6 +237,7 @@ def label_sequence(
     body_model=None,
     corpus_emb=None,
     corpus_np: Optional[np.ndarray] = None,
+    precision: str = "highest",
 ) -> dict:
     """Label one sequence: noisy queries + their k nearest distances against
     the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
@@ -255,7 +256,12 @@ def label_sequence(
 
     ``corpus_emb`` / ``corpus_np``: corpus-wide invariants a caller labeling
     many sequences against one corpus should compute ONCE and pass in
-    (``label_split`` does); both are derived here when absent."""
+    (``label_split`` does); both are derived here when absent.
+
+    ``precision``: matmul precision of the distance searches. 'highest'
+    (default) is exact — matches faiss fp32 neighbor-for-neighbor on TPU;
+    'default' uses single-pass bf16 MXU (~2x faster) with ~1e-3 distance
+    noise that can swap near-tie neighbors."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
@@ -301,17 +307,20 @@ def label_sequence(
             kc = min(k_candidates if k_candidates else 500, N)
             if corpus_emb is not None:
                 q_emb = jnp.asarray(_fk_joint_embedding(np.asarray(q), body_model))
-                _, cand = l2_topk(q_emb, corpus_emb, k=kc)
+                _, cand = l2_topk(q_emb, corpus_emb, k=kc, precision=precision)
             else:
-                _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1), k=kc)
+                _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1),
+                                  k=kc, precision=precision)
             rerank = euclidean_rerank if metric == "euc" else geodesic_rerank
             d, i = rerank(q, corpus, cand, k=k, weights=w)
         elif metric == "euc":
             # exact single-stage per-joint-L2 top-k (streamed, no candidates)
-            d, i = euclidean_topk(q, corpus, k=k, weights=w)
+            d, i = euclidean_topk(q, corpus, k=k, weights=w,
+                                  precision=precision)
         else:
             # exact single-stage geodesic top-k (weighted or not)
-            d, i = geodesic_topk(q, corpus, k=k, weights=w)
+            d, i = geodesic_topk(q, corpus, k=k, weights=w,
+                                 precision=precision)
         dists.append(np.asarray(d))
         idxs.append(np.asarray(i))
     dist = np.concatenate(dists)
@@ -336,6 +345,7 @@ def label_split(
     seed: int = 0,
     skip_if_exists: bool = True,
     shard: Optional[Tuple[int, int]] = None,
+    precision: str = "highest",
 ) -> List[str]:
     """Label every sequence of a split against the split-wide corpus.
 
@@ -377,7 +387,7 @@ def label_split(
             num_queries=num_queries * runs, k=k, k_candidates=k_candidates,
             metric=metric, weighted=weighted, rng=rng,
             space=space, body_model=body_model,
-            corpus_emb=corpus_emb, corpus_np=corpus,
+            corpus_emb=corpus_emb, corpus_np=corpus, precision=precision,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
@@ -414,5 +424,6 @@ def run_cli(args) -> None:
             space=getattr(args, "space", "quat"),
             body_model=_maybe_body_model(getattr(args, "bm_path", None),
                                          getattr(args, "space", "quat")),
+            precision=getattr(args, "knn_precision", "highest"),
         )
         print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")
