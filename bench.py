@@ -243,6 +243,28 @@ def main():
     except Exception:
         knn_qps = None
 
+    # ---------- motion-denoise solve (the reference quality benchmark) ----
+    # full 10x50-step annealed-Adam solve of a 60-frame clip (SMPL FK + NDF
+    # prior + temporal/data terms per step), one lax.scan on device
+    denoise_s = None
+    try:
+        from posendf_tpu.experiments import MotionDenoiser
+        from posendf_tpu.smpl import BodyModel
+
+        den = MotionDenoiser(module, params, BodyModel())
+        noisy = jnp.asarray(
+            rng.normal(scale=0.1, size=(60, 69)).astype(np.float32))
+        out_pose, _ = den.optimize(noisy, iterations=10, steps_per_iter=50)
+        jax.block_until_ready(out_pose)  # compile
+
+        def den_run():
+            out_pose, _ = den.optimize(noisy, iterations=10, steps_per_iter=50)
+            return jnp.sum(out_pose)
+
+        denoise_s = timed(den_run)
+    except Exception:
+        denoise_s = None
+
     target = 1_000_000.0
     print(json.dumps({
         "metric": "ndf_fwd_evals_per_sec_per_chip",
@@ -266,6 +288,8 @@ def main():
                 round(proj_big_s, 4) if proj_big_s else None,
             "knn_geodesic_top5_262k_corpus_qps":
                 round(knn_qps, 1) if knn_qps else None,
+            "denoise_500step_60frame_s":
+                round(denoise_s, 4) if denoise_s else None,
         },
     }))
 
