@@ -509,6 +509,21 @@ def fused_project(
     the XLA scan (2.85x); at the 10k-pose benchmark config the two are at
     parity (~0.14 s for 200 steps) — XLA's fixed costs are lower, the
     kernel's throughput is higher, crossover ~16k poses.
+
+    Multi-chip: poses are per-pose independent, so scale by wrapping this
+    call in ``jax.shard_map`` over a ``data`` mesh axis — each chip runs
+    the kernel on its shard, zero collectives. Validated compiled on-chip
+    (bitwise-identical to the unwrapped call)::
+
+        jax.jit(jax.shard_map(
+            lambda p: fused_project(p, enc, dfn, parents=parents, steps=S),
+            mesh=mesh, in_specs=P("data"),
+            out_specs=(P("data"), P(None, "data")), check_vma=False))
+
+    (Not built in: interpret-mode Pallas does not execute under a
+    multi-device CPU mesh, so a bundled wrapper would be untestable in the
+    hermetic suite; the XLA path's mesh sharding IS tested —
+    tests/test_parallel.py.)
     """
     B = poses.shape[0]
     num_layers = 0
