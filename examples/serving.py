@@ -8,9 +8,9 @@ single-kernel fused projection path (``ops/fused_grad.py``).
     python examples/serving.py [--batch 131072] [--steps 50] [--ckpt PATH]
 
 On a v5e chip, 131k poses x 50 projection steps complete in ~0.39 s
-(~17M pose-steps/s) — 2.85x the already-jitted XLA scan. Below ~16k poses
-the plain ``fused=False`` path wins on fixed costs; this script picks
-automatically. With ``--ckpt`` it serves a real trained field (either an
+(~17M pose-steps/s) — 2.85x the already-jitted XLA scan; at tile 1024 the
+fused path wins at every batch size, so it is used whenever a TPU backend
+is present. With ``--ckpt`` it serves a real trained field (either an
 Orbax directory or a reference-format torch ``.tar``); without, an
 untrained softplus model demonstrates the mechanics hermetically.
 """
@@ -21,8 +21,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-FUSED_CROSSOVER = 16384  # poses; below this XLA's lower fixed cost wins
 
 
 def main():
@@ -68,7 +66,8 @@ def main():
     print(f"device: {dev}; batch {args.batch} x {args.steps} steps")
     poses = jax.device_put(random_poses(jax.random.key(1), args.batch), dev)
 
-    fused = args.batch >= FUSED_CROSSOVER
+    # Pallas kernels need a real TPU backend; XLA path otherwise
+    fused = jax.default_backend() != "cpu"
 
     # keep the timed computation scalar-returning: returning the full
     # (steps, B) history through a remote-TPU relay adds transfer time, and

@@ -221,8 +221,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-renorm", action="store_true",
                    help="reference-exact mode: skip per-step re-normalization")
     p.add_argument("--fused", action="store_true",
-                   help="single-kernel projection step (TPU fast path for "
-                        "large batches, ~2.85x above ~16k poses)")
+                   help="single-kernel projection step (TPU fast path: "
+                        "1.07-2.85x the XLA scan, growing with batch)")
     p.add_argument("--out", default=None, help="output .npz path")
     p.add_argument("--save-mesh", action="store_true")
     p.add_argument("--render", action="store_true")
