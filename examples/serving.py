@@ -7,8 +7,8 @@ single-kernel fused projection path (``ops/fused_grad.py``).
 
     python examples/serving.py [--batch 131072] [--steps 50] [--ckpt PATH]
 
-On a v5e chip, 131k poses x 50 projection steps complete in ~0.39 s
-(~17M pose-steps/s) — 2.85x the already-jitted XLA scan; at tile 1024 the
+On a v5e chip, 131k poses x 50 projection steps complete in ~0.34 s
+(~19M pose-steps/s) — 3.5x the already-jitted XLA scan; at tile 1024 the
 fused path wins at every batch size, so it is used whenever a TPU backend
 is present. With ``--ckpt`` it serves a real trained field (either an
 Orbax directory or a reference-format torch ``.tar``); without, an

@@ -222,7 +222,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference-exact mode: skip per-step re-normalization")
     p.add_argument("--fused", action="store_true",
                    help="single-kernel projection step (TPU fast path: "
-                        "1.07-2.85x the XLA scan, growing with batch)")
+                        "1.07-3.5x the XLA scan, growing with batch)")
     p.add_argument("--out", default=None, help="output .npz path")
     p.add_argument("--save-mesh", action="store_true")
     p.add_argument("--render", action="store_true")

@@ -505,8 +505,8 @@ def fused_project(
     ``sample_poses.py:74`` + optional renorm / tangent modes). Returns
     (projected (B, 21, 4), history (steps, B)).
 
-    Measured on a v5e chip (tile 1024): 131k poses x 50 steps in 0.39 s vs
-    1.10 s for the XLA scan (2.85x); the 10k-pose benchmark config runs
+    Measured on a v5e chip (tile 1024): 131k poses x 50 steps in 0.32 s vs
+    1.10 s for the XLA scan (3.5x); the 10k-pose benchmark config runs
     200 steps in 0.117 s vs 0.132 s XLA (1.13x) — the fused path wins at
     every batch size that fills one tile.
 

@@ -67,7 +67,7 @@ def project(
       fused: run each step as ONE Pallas program (normalize + field
         forward/backward + update + renorm, ``ops/fused_grad.py``) with the
         scan carry kept in the kernel's native (J, 4, B) layout — the TPU
-        fast path at every batch size (1.07-2.85x the XLA scan, growing
+        fast path at every batch size (1.07-3.5x the XLA scan, growing
         with batch); requires the standard encoder+DFNet architecture and a
         backend with Mosaic (real TPU; use interpret mode on CPU).
 
