@@ -1,0 +1,249 @@
+"""Parity tests against the ACTUAL reference source at /root/reference.
+
+tests/test_model_parity.py proves parity against ``tests/torch_oracle.py`` —
+a fresh torch re-implementation. If that oracle silently "fixed" or misread a
+reference quirk, every parity test would inherit the error. This module closes
+that hole: it ``sys.path``-imports the reference's own classes
+(``model/network/net_modules.py``, ``model/posendf.py``, ``data/dist_utils.py``
+— all CPU-runnable torch) and asserts parity directly:
+
+  * distance values across all three activations (``net_modules.py:9-72``),
+  * pose gradients, i.e. the projection-loop signal (``posendf.py:18-27``),
+  * the full training objective incl. eikonal grad-of-grad, in value and in
+    parameter gradients (``posendf.py:62-99`` + the trainer's weighted sum
+    ``model/train_posendf.py:94-97``),
+  * the parent table (``model/network/net_utils.py:44-50``),
+  * the geodesic / euclidean labeling metrics (``data/dist_utils.py:9-50``).
+
+Weights flow through the SAME importer used for real pretrained checkpoints
+(``params_from_torch_state_dict``), so the importer's key mapping is exercised
+against the reference's real ``state_dict`` layout, not the oracle's.
+
+The reference modules import ``ipdb``/``smplx``/``pytorch3d`` (absent in this
+image) at module scope but never touch them in the code paths under test, so
+they are stubbed in ``sys.modules`` before import. Only read access to
+/root/reference is needed; nothing there is executed beyond the classes
+under test.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _stub_module(name: str, **attrs) -> None:
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def _unavailable(*_a, **_k):
+    raise RuntimeError("stubbed reference dependency called at runtime")
+
+
+@pytest.fixture(scope="module")
+def reference():
+    """Import the reference's model + dist_utils modules from /root/reference."""
+    _stub_module("ipdb", set_trace=lambda: None)
+    _stub_module("smplx", create=_unavailable)
+    _stub_module(
+        "pytorch3d.transforms",
+        axis_angle_to_quaternion=_unavailable,
+        quaternion_to_axis_angle=_unavailable,
+        axis_angle_to_matrix=_unavailable,
+    )
+    _stub_module("pytorch3d", transforms=sys.modules["pytorch3d.transforms"])
+
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import model.posendf as ref_posendf
+        import model.network.net_modules as ref_net_modules
+        import model.network.net_utils as ref_net_utils
+        import data.dist_utils as ref_dist_utils
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+    return types.SimpleNamespace(
+        posendf=ref_posendf,
+        net_modules=ref_net_modules,
+        net_utils=ref_net_utils,
+        dist_utils=ref_dist_utils,
+    )
+
+
+def _ref_opt(act: str, use_encoder: bool = True, loss_type: str = "l1"):
+    """The reference's raw config dict shape (configs/amass.yaml:23-58)."""
+    return {
+        "train": {"device": "cpu", "loss_type": loss_type, "batch_size": 4},
+        "model": {
+            "StrEnc": {"use": use_encoder, "act": act, "beta": 100.0,
+                       "in_dim": 84, "out_dim": 6, "num_part": 21},
+            "DFNet": {"in_dim": 126 if use_encoder else 84,
+                      "dims": [256, 512, 1024, 512, 256, 64],
+                      "act": act, "beta": 100.0},
+        },
+    }
+
+
+def _make_pair(reference, act: str, seed: int = 0, use_encoder: bool = True):
+    """Reference PoseNDF (torch) + our PoseNDF (jax) sharing its weights."""
+    from posendf_tpu.models import PoseNDF
+    from posendf_tpu.training.torch_import import params_from_torch_state_dict
+
+    torch.manual_seed(seed)
+    ref_model = reference.posendf.PoseNDF(_ref_opt(act, use_encoder))
+    ref_model.eval()
+    params = params_from_torch_state_dict(ref_model.state_dict())
+    jmodel = PoseNDF(use_encoder=use_encoder, activation=act)
+    return ref_model, jmodel, params
+
+
+def _unit_quats(rng, b):
+    q = rng.normal(size=(b, 21, 4)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def test_parent_table_matches_reference_source(reference):
+    from posendf_tpu.kinematics import REFERENCE_PARENTS
+
+    assert tuple(reference.net_utils.get_parent_mapping("smpl")) == REFERENCE_PARENTS
+
+
+@pytest.mark.parametrize("act", ["lrelu", "relu", "softplus"])
+def test_distance_parity_vs_reference_source(reference, rng, act):
+    ref_model, jmodel, params = _make_pair(reference, act)
+    pose = _unit_quats(rng, 32)
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(pose.copy()), train=False)["dist_pred"].numpy()
+    ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(pose)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_distance_parity_no_encoder_vs_reference_source(reference, rng):
+    ref_model, jmodel, params = _make_pair(reference, "softplus", use_encoder=False)
+    pose = _unit_quats(rng, 16)
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(pose.copy()), train=False)["dist_pred"].numpy()
+    ours = np.asarray(jmodel.apply({"params": params}, jnp.asarray(pose)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pose_gradient_parity_vs_reference_source(reference, rng):
+    """The projection-loop gradient, via the reference's own gradient()
+    helper (model/posendf.py:18-27) through its own forward."""
+    from posendf_tpu.field import distance_and_grad
+
+    ref_model, jmodel, params = _make_pair(reference, "softplus", seed=3)
+    pose = _unit_quats(rng, 8)
+
+    tp = torch.from_numpy(pose.copy())
+    tp.requires_grad_(True)
+    # eval-branch forward on a grad-enabled input (the reference projection
+    # loop does exactly this, experiments/sample_poses.py:70-73)
+    out = ref_model(tp, train=False)["dist_pred"]
+    g_ref = reference.posendf.gradient(tp, out).detach().numpy()
+
+    d, g = distance_and_grad(jmodel, params, jnp.asarray(pose))
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("loss_type", ["l1", "l2"])
+def test_training_objective_parity_vs_reference_source(reference, rng, loss_type):
+    """Loss terms + total + parameter gradients vs the reference's own
+    train-branch forward (posendf.py:62-99) and the trainer's weighted sum
+    (train_posendf.py:94-97)."""
+    from posendf_tpu.losses import training_loss
+
+    ref_model, jmodel, params = _make_pair(reference, "softplus", seed=11)
+    ref_model.loss = loss_type
+    ref_model.loss_l1 = torch.nn.L1Loss() if loss_type == "l1" else torch.nn.MSELoss()
+
+    B = 16
+    pose = _unit_quats(rng, B)
+    man = _unit_quats(rng, B)
+    dist_gt = np.abs(rng.normal(size=B)).astype(np.float32)
+    weights = {"dist": 1.0, "man_loss": 0.7, "eikonal": 0.3}
+
+    loss, loss_dict = ref_model(
+        torch.from_numpy(pose.copy()),
+        torch.from_numpy(dist_gt.copy()),
+        torch.from_numpy(man.copy()),
+        train=True, eikonal=weights["eikonal"],
+    )
+    total_t = sum(w * loss_dict[k] for k, w in weights.items())
+    total_t.backward()
+    ref_grad_w0 = ref_model.dfnet.lin0.weight.grad.numpy()
+    ref_grad_enc0 = ref_model.enc.net[0].net[0].weight.grad.numpy()
+
+    def loss_fn(p):
+        return training_loss(
+            jmodel, p, jnp.asarray(pose), jnp.asarray(dist_gt), jnp.asarray(man),
+            loss_type=loss_type, weight_dist=weights["dist"],
+            weight_man=weights["man_loss"], weight_eikonal=weights["eikonal"],
+        )[0]
+
+    total_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(total_j), float(total_t.detach()),
+                               atol=1e-5, rtol=1e-5)
+    # our dfnet.w0 is stored (in, out) = torch weight.T
+    np.testing.assert_allclose(np.asarray(grads["dfnet"]["w0"]).T, ref_grad_w0,
+                               atol=1e-5, rtol=1e-3)
+    # encoder grads: our stacked (21, in, out) layout, joint 0's first linear.
+    # Root joints zero-pad the unused parent-feature rows, so compare the
+    # first 4 input rows (the quaternion rows torch actually has).
+    ours_enc0 = np.asarray(grads["enc"]["w1"])[0][:4].T  # (out, 4)
+    np.testing.assert_allclose(ours_enc0, ref_grad_enc0[:, :4], atol=1e-5, rtol=1e-3)
+
+
+def test_geodesic_metric_parity_vs_reference_source(reference, rng):
+    """geo.dist_calc (data/dist_utils.py:42-50): per-candidate geodesic and
+    the (largest=False) top-5 selection."""
+    from posendf_tpu.quat import quat_geodesic_distance, weighted_quat_geodesic_distance
+
+    B, K = 7, 40
+    noise = _unit_quats(rng, B)
+    cands = rng.normal(size=(B, K, 21, 4)).astype(np.float32)
+    cands /= np.linalg.norm(cands, axis=-1, keepdims=True)
+
+    for weighted, fn in ((False, quat_geodesic_distance),
+                        (True, weighted_quat_geodesic_distance)):
+        calc = reference.dist_utils.geo(B, device="cpu", weighted=weighted)
+        val_ref, idx_ref = calc.dist_calc(
+            torch.from_numpy(noise.copy()), torch.from_numpy(cands.copy()), K, 5)
+        ours_all = np.asarray(fn(jnp.asarray(noise)[:, None], jnp.asarray(cands)))
+        vals, idx = jax.lax.top_k(-jnp.asarray(ours_all), 5)
+        np.testing.assert_allclose(np.asarray(-vals), val_ref.numpy(),
+                                   atol=1e-6, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+
+
+def test_euclidean_metric_parity_vs_reference_source(reference, rng):
+    """euc.dist_calc (data/dist_utils.py:19-30): mean-over-joints per-joint L2."""
+    B, K = 5, 24
+    noise = _unit_quats(rng, B)
+    cands = rng.normal(size=(B, K, 21, 4)).astype(np.float32)
+    cands /= np.linalg.norm(cands, axis=-1, keepdims=True)
+
+    calc = reference.dist_utils.euc(B, device="cpu", weighted=False)
+    val_ref, idx_ref = calc.dist_calc(
+        torch.from_numpy(noise.copy()), torch.from_numpy(cands.copy()), K, 5)
+
+    diff = jnp.asarray(noise)[:, None] - jnp.asarray(cands)
+    ours_all = jnp.mean(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), axis=-1)
+    vals, idx = jax.lax.top_k(-ours_all, 5)
+    np.testing.assert_allclose(np.asarray(-vals), val_ref.numpy(),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
