@@ -41,14 +41,11 @@ class Field:
             raise ValueError(
                 "distance_fused supports the standard encoder+DFNet "
                 "architecture (use_encoder=True, ff_enc=False)")
-        if m.compute_dtype != "float32":
-            raise ValueError(
-                "distance_fused computes in fp32; for "
-                f"compute_dtype={m.compute_dtype!r} use distance")
         pose = pose.reshape(-1, m.num_joints, 4)
         return fused_posendf_forward(
             pose, self.params["enc"], self.params["dfnet"],
-            parents=m.parents, activation=m.activation, beta=m.beta)
+            parents=m.parents, activation=m.activation, beta=m.beta,
+            compute_dtype=m.compute_dtype)
 
     def distance_and_grad(self, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return distance_and_grad(self.module, self.params, pose)
@@ -65,14 +62,15 @@ class Field:
             raise ValueError(
                 "distance_and_grad_fused supports the standard encoder+DFNet "
                 "architecture (use_encoder=True, ff_enc=False)")
-        if m.compute_dtype != "float32":
-            raise ValueError(
-                "distance_and_grad_fused computes in fp32; for "
-                f"compute_dtype={m.compute_dtype!r} use distance_and_grad")
+        orig_shape = pose.shape
         pose = pose.reshape(-1, m.num_joints, 4)
-        return fused_distance_and_grad(
+        d, g = fused_distance_and_grad(
             pose, self.params["enc"], self.params["dfnet"],
-            parents=m.parents, activation=m.activation, beta=m.beta)
+            parents=m.parents, activation=m.activation, beta=m.beta,
+            compute_dtype=m.compute_dtype)
+        # same contract as distance_and_grad: the gradient comes back in the
+        # CALLER's pose shape (e.g. (B, 84) for flat input)
+        return d, g.reshape(orig_shape)
 
 
 def distance_fn(module, params) -> Callable[[jax.Array], jax.Array]:

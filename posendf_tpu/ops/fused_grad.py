@@ -115,7 +115,7 @@ def _out_act_grad_from_value(activation, beta, d):
 def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
                    beta, parents_ref, pmask_ref,
                    w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref, layer_refs,
-                   q_transform=None):
+                   q_transform=None, compute_dtype="float32"):
     """Shared kernel body: forward + input-only backward of the whole field.
 
     ``q_norm_ref``: (J, 4, T) ref holding the (already input-normalized)
@@ -125,6 +125,12 @@ def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
     of needing a scratch copy. Returns ``(d, gx_ref)`` where d is the (T, 1)
     distance value and ``gx_ref`` the (J, 4, T) scratch filled with
     dd/dq_norm.
+
+    ``compute_dtype='bfloat16'`` runs every matmul with bf16 operands (the
+    weight refs arrive pre-cast by ``_weight_operands``; activations are cast
+    at each dot) with fp32 MXU accumulation — matching the XLA model's
+    ``compute_dtype`` semantics. Biases, activations, and all derivative
+    state stay fp32.
     """
     feats = refs["feats"]          # (J, F, T) fp32
     hst = refs["hstore"]           # (J, H, T) int8 or fp32
@@ -133,6 +139,8 @@ def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
     zstores = refs["zstores"]      # per-layer (T, d_l) int8 or fp32
     gx_ref = refs["gx"]            # (J, 4, T) fp32
 
+    cd = jnp.dtype(compute_dtype)
+    cast = (lambda a: a.astype(cd)) if cd != jnp.float32 else (lambda a: a)
     act = make_activation(activation, beta)
     out_act = make_output_activation(activation, beta)
 
@@ -145,14 +153,14 @@ def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
             q = q_transform(q)
         p = jnp.maximum(parents_ref[j], 0)
         zh = (
-            jnp.dot(w1a_ref[j], q, preferred_element_type=jnp.float32)
-            + pmask_ref[j] * jnp.dot(w1b_ref[j], feats[p],
+            jnp.dot(w1a_ref[j], cast(q), preferred_element_type=jnp.float32)
+            + pmask_ref[j] * jnp.dot(w1b_ref[j], cast(feats[p]),
                                      preferred_element_type=jnp.float32)
             + b1_ref[j][:, None]
         )
         hst[j] = _act_store(activation, zh)
         h = act(zh)
-        zf = jnp.dot(w2_ref[j], h, preferred_element_type=jnp.float32) \
+        zf = jnp.dot(w2_ref[j], cast(h), preferred_element_type=jnp.float32) \
             + b2_ref[j][:, None]
         fst[j] = _act_store(activation, zf)
         feats[j] = act(zf)
@@ -166,7 +174,7 @@ def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
     for l in range(num_layers):
         w = layer_refs[2 * l][...]                        # (in, out)
         b = layer_refs[2 * l + 1][...]                    # (out,)
-        z = jnp.dot(x, w, preferred_element_type=jnp.float32) + b[None, :]
+        z = jnp.dot(cast(x), w, preferred_element_type=jnp.float32) + b[None, :]
         if l < num_layers - 1:
             zstores[l][...] = _act_store(activation, z)
             x = act(z)
@@ -182,7 +190,7 @@ def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
         w = layer_refs[2 * l][...]                        # (in, out)
         # g @ w^T without materializing the transpose: contract 'out' axes
         g = jax.lax.dot_general(
-            g, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            cast(g), w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (tile, in)
 
     # ---- encoder backward, reverse joint walk ----
@@ -192,15 +200,15 @@ def _field_fwd_bwd(q_norm_ref, refs, *, num_joints, num_layers, activation,
         j = num_joints - 1 - i
         gf = gfeat[j] * _act_grad(activation, beta, fst[j])
         gh = jax.lax.dot_general(
-            w2_ref[j], gf, dimension_numbers=(((0,), (0,)), ((), ())),
+            w2_ref[j], cast(gf), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (H, tile)
         gh = gh * _act_grad(activation, beta, hst[j])
         gx_ref[j] = jax.lax.dot_general(
-            w1a_ref[j], gh, dimension_numbers=(((0,), (0,)), ((), ())),
+            w1a_ref[j], cast(gh), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (4, tile)
         p = jnp.maximum(parents_ref[j], 0)
         contrib = pmask_ref[j] * jax.lax.dot_general(
-            w1b_ref[j], gh, dimension_numbers=(((0,), (0,)), ((), ())),
+            w1b_ref[j], cast(gh), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (F, tile)
         gfeat[p] = gfeat[p] + contrib
         return 0
@@ -220,7 +228,8 @@ def _split_refs(refs, num_layers, num_outputs):
 
 def _vag_kernel(parents_ref, pmask_ref, q_ref,
                 w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
-                *refs, num_joints, num_layers, activation, beta):
+                *refs, num_joints, num_layers, activation, beta,
+                compute_dtype):
     layer_refs, (d_ref, gq_ref), rest = _split_refs(refs, num_layers, 2)
     named = {"feats": rest[0], "hstore": rest[1], "fstore": rest[2],
              "gfeat": rest[3], "gx": gq_ref, "zstores": rest[4:]}
@@ -228,14 +237,16 @@ def _vag_kernel(parents_ref, pmask_ref, q_ref,
         q_ref, named, num_joints=num_joints, num_layers=num_layers,
         activation=activation, beta=beta, parents_ref=parents_ref,
         pmask_ref=pmask_ref, w1a_ref=w1a_ref, w1b_ref=w1b_ref, b1_ref=b1_ref,
-        w2_ref=w2_ref, b2_ref=b2_ref, layer_refs=layer_refs)
+        w2_ref=w2_ref, b2_ref=b2_ref, layer_refs=layer_refs,
+        compute_dtype=compute_dtype)
     d_ref[...] = d
 
 
 def _proj_kernel(parents_ref, pmask_ref, q_ref,
                  w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
                  *refs, num_joints, num_layers, activation, beta,
-                 renormalize, step_scale, tangent, normalize_input):
+                 renormalize, step_scale, tangent, normalize_input,
+                 compute_dtype):
     layer_refs, (d_ref, qout_ref), rest = _split_refs(refs, num_layers, 2)
     named = {"feats": rest[0], "hstore": rest[1], "fstore": rest[2],
              "gfeat": rest[3], "gx": rest[4], "zstores": rest[5:]}
@@ -267,7 +278,7 @@ def _proj_kernel(parents_ref, pmask_ref, q_ref,
         activation=activation, beta=beta, parents_ref=parents_ref,
         pmask_ref=pmask_ref, w1a_ref=w1a_ref, w1b_ref=w1b_ref, b1_ref=b1_ref,
         w2_ref=w2_ref, b2_ref=b2_ref, layer_refs=layer_refs,
-        q_transform=q_transform)
+        q_transform=q_transform, compute_dtype=compute_dtype)
     d_ref[...] = d
     drow = d[:, 0][None, :] * step_scale                  # (1, T)
     # replicate d into all 4 sublane rows ONCE — per-joint (1,T)->(4,T)
@@ -306,17 +317,22 @@ def _proj_kernel(parents_ref, pmask_ref, q_ref,
         qout_ref[j] = qn
 
 
-def _weight_operands(enc_params, dfnet_params, parents, num_layers, dtype):
-    w1 = enc_params["w1"]                                  # (J, 10, H)
+def _weight_operands(enc_params, dfnet_params, parents, num_layers, dtype,
+                     compute_dtype="float32"):
+    """Kernel weight operands. With ``compute_dtype='bfloat16'`` the matmul
+    weights ship to VMEM pre-cast (halving their footprint and HBM traffic);
+    biases stay fp32 — they join fp32 accumulators."""
+    cd = jnp.dtype(compute_dtype)
+    w1 = enc_params["w1"].astype(cd)                       # (J, 10, H)
     w1a = jnp.transpose(w1[:, :4, :], (0, 2, 1))           # (J, H, 4)
     w1b = jnp.transpose(w1[:, 4:, :], (0, 2, 1))           # (J, H, F)
-    w2t = jnp.transpose(enc_params["w2"], (0, 2, 1))       # (J, F, H)
+    w2t = jnp.transpose(enc_params["w2"].astype(cd), (0, 2, 1))  # (J, F, H)
     parents_arr = jnp.asarray(parents, jnp.int32)
     pmask = jnp.asarray([0.0 if p == -1 else 1.0 for p in parents], dtype)
 
     layer_args, layer_specs, dims = [], [], []
     for l in range(num_layers):
-        w = dfnet_params[f"w{l}"]
+        w = dfnet_params[f"w{l}"].astype(cd)
         b = dfnet_params[f"b{l}"]
         dims.append(w.shape[1])
         layer_args += [w, b]
@@ -355,14 +371,15 @@ def _field_scratches(J, H, F, tile_b, dims, activation, *, extra_pose_bufs=0):
 
 
 def _vag_core(quat, enc_params, dfnet_params, parents, activation, beta,
-              num_layers, tile_b):
+              num_layers, tile_b, compute_dtype="float32"):
     """(Bp, J, 4) pre-normalized quats -> ((Bp, 1) dist, (J, 4, Bp) grad)."""
     B = quat.shape[0]
     J = len(parents)
     q_t = jnp.transpose(quat, (1, 2, 0))                  # (J, 4, B)
     (parents_arr, pmask, w1a, w1b, b1, w2t, b2,
      layer_args, layer_specs, dims) = _weight_operands(
-        enc_params, dfnet_params, parents, num_layers, quat.dtype)
+        enc_params, dfnet_params, parents, num_layers, quat.dtype,
+        compute_dtype)
     H = w1a.shape[1]
     F = w1b.shape[2]
 
@@ -380,7 +397,7 @@ def _vag_core(quat, enc_params, dfnet_params, parents, activation, beta,
     )
     kernel = functools.partial(
         _vag_kernel, num_joints=J, num_layers=num_layers,
-        activation=activation, beta=beta)
+        activation=activation, beta=beta, compute_dtype=compute_dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -402,6 +419,7 @@ def fused_distance_and_grad(
     beta: float = 100.0,
     tile_b: int = 1024,
     normalize_input: bool = True,
+    compute_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused (d, dd/dquat): (B, 21, 4) -> ((B, 1), (B, 21, 4)).
 
@@ -434,7 +452,7 @@ def fused_distance_and_grad(
     else:
         x = quat
     d, gq_t = _vag_core(x, enc_params, dfnet_params, tuple(parents),
-                        activation, beta, num_layers, tile_b)
+                        activation, beta, num_layers, tile_b, compute_dtype)
     g = jnp.transpose(gq_t, (2, 0, 1))                    # (Bp, J, 4)
     if normalize_input:
         (g,) = norm_vjp(g)
@@ -443,12 +461,13 @@ def fused_distance_and_grad(
 
 def _proj_step_core(q_t, enc_params, dfnet_params, parents, activation, beta,
                     num_layers, tile_b, renormalize, step_scale, tangent,
-                    normalize_input):
+                    normalize_input, compute_dtype="float32"):
     """One projection step on the (J, 4, Bp) carry -> (d (Bp,1), q_next)."""
     J, _, B = q_t.shape
     (parents_arr, pmask, w1a, w1b, b1, w2t, b2,
      layer_args, layer_specs, dims) = _weight_operands(
-        enc_params, dfnet_params, parents, num_layers, q_t.dtype)
+        enc_params, dfnet_params, parents, num_layers, q_t.dtype,
+        compute_dtype)
     H = w1a.shape[1]
     F = w1b.shape[2]
 
@@ -470,7 +489,7 @@ def _proj_step_core(q_t, enc_params, dfnet_params, parents, activation, beta,
         _proj_kernel, num_joints=J, num_layers=num_layers,
         activation=activation, beta=beta, renormalize=renormalize,
         step_scale=step_scale, tangent=tangent,
-        normalize_input=normalize_input)
+        normalize_input=normalize_input, compute_dtype=compute_dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -496,6 +515,7 @@ def fused_project(
     tangent: bool = False,
     normalize_input: bool = True,
     tile_b: int = 1024,
+    compute_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Whole manifold projection with the per-step kernel: each scan step is
     ONE Pallas program (normalize + field fwd/bwd + update + renorm), the
@@ -540,7 +560,7 @@ def fused_project(
         d, q_next = _proj_step_core(
             q, enc_params, dfnet_params, tuple(parents), activation, beta,
             num_layers, tile_b, bool(renormalize), float(step_scale),
-            bool(tangent), bool(normalize_input))
+            bool(tangent), bool(normalize_input), compute_dtype)
         return q_next, d[:, 0]
 
     out_t, history = jax.lax.scan(step, q_t, None, length=steps)

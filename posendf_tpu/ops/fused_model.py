@@ -38,10 +38,13 @@ __all__ = ["fused_posendf_forward"]
 def _model_kernel(parents_ref, pmask_ref, q_ref,
                   w1a_ref, w1b_ref, b1_ref, w2_ref, b2_ref,
                   *refs,
-                  num_joints, num_layers, activation, beta):
+                  num_joints, num_layers, activation, beta,
+                  compute_dtype="float32"):
     layer_refs = refs[: 2 * num_layers]
     out_ref = refs[2 * num_layers]
     feats = refs[2 * num_layers + 1]
+    cd = jnp.dtype(compute_dtype)
+    cast = (lambda a: a.astype(cd)) if cd != jnp.float32 else (lambda a: a)
     act = make_activation(activation, beta)
     out_act = make_output_activation(activation, beta)
 
@@ -52,12 +55,12 @@ def _model_kernel(parents_ref, pmask_ref, q_ref,
         q = q_ref[j]
         p = jnp.maximum(parents_ref[j], 0)
         h = (
-            jnp.dot(w1a_ref[j], q, preferred_element_type=jnp.float32)
-            + pmask_ref[j] * jnp.dot(w1b_ref[j], feats[p],
+            jnp.dot(w1a_ref[j], cast(q), preferred_element_type=jnp.float32)
+            + pmask_ref[j] * jnp.dot(w1b_ref[j], cast(feats[p]),
                                      preferred_element_type=jnp.float32)
         )
         h = act(h + b1_ref[j][:, None])
-        f = jnp.dot(w2_ref[j], h, preferred_element_type=jnp.float32)
+        f = jnp.dot(w2_ref[j], cast(h), preferred_element_type=jnp.float32)
         feats[j] = act(f + b2_ref[j][:, None])
         return 0
 
@@ -69,15 +72,16 @@ def _model_kernel(parents_ref, pmask_ref, q_ref,
     for l in range(num_layers):
         w = layer_refs[2 * l][...]                # (in, out)
         b = layer_refs[2 * l + 1][...]            # (out,)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b[None, :]
+        x = jnp.dot(cast(x), w, preferred_element_type=jnp.float32) + b[None, :]
         x = act(x) if l < num_layers - 1 else out_act(x)
     out_ref[...] = x                              # (tile, 1)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7, 8))
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
-                      beta, num_layers, tile_b, normalize_input):
+                      beta, num_layers, tile_b, normalize_input,
+                      compute_dtype="float32"):
     from posendf_tpu.quat import joint_axis_normalize
 
     B = quat.shape[0]
@@ -91,7 +95,8 @@ def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
     q_t = jnp.transpose(x, (1, 2, 0))                  # (J, 4, B)
     (parents_arr, pmask, w1a, w1b, b1, w2t, b2,
      layer_args, layer_specs, _dims) = _weight_operands(
-        enc_params, dfnet_params, parents, num_layers, quat.dtype)
+        enc_params, dfnet_params, parents, num_layers, quat.dtype,
+        compute_dtype)
     H = w1a.shape[1]
     F = w1b.shape[2]
 
@@ -105,7 +110,7 @@ def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
     )
     kernel = functools.partial(
         _model_kernel, num_joints=J, num_layers=num_layers,
-        activation=activation, beta=beta)
+        activation=activation, beta=beta, compute_dtype=compute_dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -114,15 +119,15 @@ def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
 
 
 def _fused_fwd(quat, enc_params, dfnet_params, parents, activation, beta,
-               num_layers, tile_b, normalize_input):
+               num_layers, tile_b, normalize_input, compute_dtype="float32"):
     out = _fused_model_core(quat, enc_params, dfnet_params, parents,
                             activation, beta, num_layers, tile_b,
-                            normalize_input)
+                            normalize_input, compute_dtype)
     return out, (quat, enc_params, dfnet_params)
 
 
 def _fused_bwd(parents, activation, beta, num_layers, tile_b,
-               normalize_input, residuals, g):
+               normalize_input, compute_dtype, residuals, g):
     from posendf_tpu.models.dfnet import DFNet  # noqa: F401 (docs)
     from posendf_tpu.models.encoder import structure_encoder_apply
     from posendf_tpu.models.activations import resolve
@@ -159,6 +164,7 @@ def fused_posendf_forward(
     beta: float = 100.0,
     tile_b: int = 512,
     normalize_input: bool = True,
+    compute_dtype: str = "float32",
 ) -> jax.Array:
     """Whole-model fused forward: (B, 21, 4) -> (B, 1) distances.
 
@@ -175,6 +181,6 @@ def fused_posendf_forward(
         quat = jnp.concatenate(
             [quat, jnp.zeros((pad,) + quat.shape[1:], quat.dtype)], axis=0)
     out = _fused_model_core(quat, enc_params, dfnet_params, tuple(parents),
-                            activation, beta, num_layers, tile_b, True
-                            if normalize_input else False)
+                            activation, beta, num_layers, tile_b,
+                            bool(normalize_input), compute_dtype)
     return out[:B]

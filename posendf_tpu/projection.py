@@ -84,14 +84,11 @@ def project(
             raise ValueError(
                 "project(fused=True) supports the standard encoder+DFNet "
                 "architecture (use_encoder=True, ff_enc=False)")
-        if module.compute_dtype != "float32":
-            raise ValueError(
-                "project(fused=True) computes in fp32; for "
-                f"compute_dtype={module.compute_dtype!r} use fused=False")
         return fused_project(
             poses, params["enc"], params["dfnet"], parents=module.parents,
             steps=steps, activation=module.activation, beta=module.beta,
-            renormalize=renormalize, step_scale=step_scale, tangent=tangent)
+            renormalize=renormalize, step_scale=step_scale, tangent=tangent,
+            compute_dtype=module.compute_dtype)
 
     def dist_fn(p):
         return module.apply({"params": params}, p)
