@@ -305,6 +305,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default) is exact like faiss fp32; 'default' is "
                         "single-pass bf16, ~2x faster with ~1e-3 distance "
                         "noise that can swap near-tie neighbors")
+    p.add_argument("--per-pose-noise", action="store_true",
+                   help="corrected noise sampling: an independent noise draw "
+                        "per query pose. Default reproduces the reference "
+                        "quirk — ONE (21,4) draw shared by every pose of a "
+                        "sigma group (create_data.py:88)")
     p.set_defaults(fn=cmd_prepare_data)
 
     return ap

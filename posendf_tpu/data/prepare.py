@@ -185,19 +185,40 @@ def sample_noisy_queries(
     num_samples: int,
     spec: NoiseSpec = NoiseSpec(),
     rng: Optional[np.random.Generator] = None,
+    *,
+    per_pose_noise: bool = False,
+    runs: int = 1,
 ) -> np.ndarray:
-    """Draw noisy queries: pick clean poses, add sigma * U[0,1) elementwise,
+    """Draw noisy queries: pick clean poses, add sigma * U[0,1) noise,
     renormalize each joint quaternion (reference semantics:
-    ``create_data.py:85-91``). Returns (sum(counts), 21, 4) float32."""
+    ``create_data.py:85-91``). Returns (runs * sum(counts), 21, 4) float32.
+
+    Reference quirk kept on the DEFAULT path: the reference draws ONE
+    (21, 4) uniform noise sample per sigma group and broadcasts it across
+    *all* poses of that group (``sampled_pose + self.sigma[i]*np.random.rand(21,4)``,
+    ``data/create_data.py:88`` — rand(21,4), not rand(n,21,4)), so noise is
+    fully correlated within a group. The group granularity is one
+    ``__getitem__`` of the reference's query loader — ``num_samples`` poses —
+    and the labeler iterates ``runs=1000`` of them per sequence
+    (``prepare_traindata.py:45,104``): pass ``runs`` to reproduce that draw
+    structure (``num_samples`` is the total; each run draws
+    ``counts(num_samples // runs)``). ``per_pose_noise=True`` is the
+    corrected variant with an independent draw per pose — statistically
+    better coverage of the noise ball, but a divergence from the data
+    distribution the reference trained on.
+    """
     rng = rng or np.random.default_rng(0)
     out = []
-    for sigma, n in zip(spec.sigmas, spec.counts(num_samples)):
-        if n == 0:
-            continue
-        idx = rng.integers(0, len(clean_quats), n)
-        noisy = clean_quats[idx] + sigma * rng.random((n, 21, 4), dtype=np.float32)
-        noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
-        out.append(noisy.astype(np.float32))
+    per_run = num_samples // runs if runs > 1 else num_samples
+    for _ in range(runs):
+        for sigma, n in zip(spec.sigmas, spec.counts(per_run)):
+            if n == 0:
+                continue
+            idx = rng.integers(0, len(clean_quats), n)
+            shape = (n, 21, 4) if per_pose_noise else (21, 4)
+            noisy = clean_quats[idx] + sigma * rng.random(shape, dtype=np.float32)
+            noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
+            out.append(noisy.astype(np.float32))
     return np.concatenate(out)
 
 
@@ -238,6 +259,8 @@ def label_sequence(
     corpus_emb=None,
     corpus_np: Optional[np.ndarray] = None,
     precision: str = "highest",
+    per_pose_noise: bool = False,
+    runs: int = 1,
 ) -> dict:
     """Label one sequence: noisy queries + their k nearest distances against
     the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
@@ -269,7 +292,8 @@ def label_sequence(
         l2_topk)
     from posendf_tpu.quat import SMPL_JOINT_RANK
 
-    queries = sample_noisy_queries(seq_quats, num_queries, spec, rng)
+    queries = sample_noisy_queries(seq_quats, num_queries, spec, rng,
+                                   per_pose_noise=per_pose_noise, runs=runs)
     corpus = jnp.asarray(corpus)
     N = corpus.shape[0]
     if corpus_np is None:
@@ -346,6 +370,7 @@ def label_split(
     skip_if_exists: bool = True,
     shard: Optional[Tuple[int, int]] = None,
     precision: str = "highest",
+    per_pose_noise: bool = False,
 ) -> List[str]:
     """Label every sequence of a split against the split-wide corpus.
 
@@ -388,6 +413,7 @@ def label_split(
             metric=metric, weighted=weighted, rng=rng,
             space=space, body_model=body_model,
             corpus_emb=corpus_emb, corpus_np=corpus, precision=precision,
+            per_pose_noise=per_pose_noise, runs=runs,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
@@ -425,5 +451,6 @@ def run_cli(args) -> None:
             body_model=_maybe_body_model(getattr(args, "bm_path", None),
                                          getattr(args, "space", "quat")),
             precision=getattr(args, "knn_precision", "highest"),
+            per_pose_noise=getattr(args, "per_pose_noise", False),
         )
         print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")

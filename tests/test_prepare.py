@@ -69,6 +69,64 @@ def test_noisy_queries_normalized(rng):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+def test_noisy_queries_shared_noise_quirk(rng):
+    """Reference quirk (create_data.py:88): ONE (21,4) noise draw broadcast
+    across every pose of a sigma group. With identical clean poses, all
+    queries inside a group must therefore be IDENTICAL — and distinct
+    between groups/runs. per_pose_noise=True is the corrected variant."""
+    one = synthetic_manifold_poses(rng, 1)
+    clean = np.repeat(one, 64, axis=0)  # identical clean poses
+    spec = NoiseSpec()
+
+    # default path: shared noise => each sigma group collapses to one pose
+    q = sample_noisy_queries(clean, 100, spec, np.random.default_rng(1))
+    counts = spec.counts(100)
+    start = 0
+    group_reps = []
+    for n in counts:
+        g = q[start:start + n]
+        np.testing.assert_array_equal(g, np.repeat(g[:1], n, axis=0))
+        group_reps.append(g[0])
+        start += n
+    # distinct draws across sigma groups
+    assert not np.allclose(group_reps[0], group_reps[1])
+
+    # runs > 1: each run has its own shared draw per sigma
+    q2 = sample_noisy_queries(clean, 100, spec, np.random.default_rng(1),
+                              runs=2)
+    assert q2.shape == (100, 21, 4)
+    g_run1 = q2[:10]      # run 1, sigma 0 group (counts(50)[0] == 10)
+    g_run2 = q2[50:60]    # run 2, sigma 0 group
+    np.testing.assert_array_equal(g_run1, np.repeat(g_run1[:1], 10, axis=0))
+    assert not np.allclose(g_run1[0], g_run2[0])
+
+    # corrected variant: independent noise per pose
+    qp = sample_noisy_queries(clean, 100, spec, np.random.default_rng(1),
+                              per_pose_noise=True)
+    assert not np.allclose(qp[0], qp[1])
+
+
+def test_noisy_queries_match_reference_port(rng):
+    """The default path must equal a direct numpy port of the reference
+    sampler loop (create_data.py:85-91) driven by the same Generator."""
+    clean = synthetic_manifold_poses(rng, 64)
+    spec = NoiseSpec()
+
+    r1 = np.random.default_rng(7)
+    ours = sample_noisy_queries(clean, 100, spec, r1)
+
+    r2 = np.random.default_rng(7)
+    ref = []
+    for sigma, n in zip(spec.sigmas, spec.counts(100)):
+        indices = r2.integers(0, len(clean), n)
+        sampled = clean[indices]
+        # reference: one rand(21,4) for the whole group, broadcast add
+        sampled = sampled + sigma * r2.random((21, 4), dtype=np.float32)
+        sampled = sampled / np.linalg.norm(sampled, axis=2, keepdims=True)
+        ref.extend(sampled)
+    np.testing.assert_allclose(ours, np.asarray(ref), atol=1e-7)
+
+
 def test_label_sequence_against_oracle(rng):
     clean = synthetic_manifold_poses(rng, 128)
     corpus = synthetic_manifold_poses(rng, 256)
