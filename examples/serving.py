@@ -66,8 +66,9 @@ def main():
     print(f"device: {dev}; batch {args.batch} x {args.steps} steps")
     poses = jax.device_put(random_poses(jax.random.key(1), args.batch), dev)
 
-    # Pallas kernels need a real TPU backend; XLA path otherwise
-    fused = jax.default_backend() != "cpu"
+    # Pallas TPU kernels run only on a TPU backend (not GPU or other PJRT
+    # platforms); XLA path everywhere else
+    fused = dev.platform == "tpu"
 
     # keep the timed computation scalar-returning: returning the full
     # (steps, B) history through a remote-TPU relay adds transfer time, and

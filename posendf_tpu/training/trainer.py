@@ -75,6 +75,13 @@ class Trainer:
     Usage:
         trainer = Trainer(cfg, mesh=mesh)
         trainer.fit(batcher, epochs=...)
+
+    Buffer donation: the jitted train step donates params/opt_state
+    (``donate_argnums=(0, 1)``), so each step invalidates the PREVIOUS
+    buffers. Never capture ``trainer.params`` before training and use it
+    afterwards (e.g. a ``Field`` built ahead of ``fit()``) — the stale
+    reference raises a donated-buffer error; re-read ``trainer.params``
+    after training instead.
     """
 
     def __init__(
@@ -196,11 +203,17 @@ class Trainer:
                 return dict(terms, total=total)
 
             self._eval_step = jax.jit(eval_step)
-        avg = {k: RunningAverage() for k in ("total", "dist", "man_loss", "eikonal")}
-        for batch in batches:
-            m = self._eval_step(self.params, batch)
-            for k, meter in avg.items():
-                meter.update(float(m[k]))
+        keys = ("total", "dist", "man_loss", "eikonal")
+        avg = {k: RunningAverage() for k in keys}
+        # like train_epoch: metrics stay on device per batch (a float() per
+        # batch costs one relay RTT each), one readback for the whole pass
+        step_metrics = [self._eval_step(self.params, batch) for batch in batches]
+        if step_metrics:
+            stacked = {k: jnp.stack([m[k] for m in step_metrics]) for k in keys}
+            host = jax.device_get(stacked)
+            for k in keys:
+                for v in np.asarray(host[k]):
+                    avg[k].update(float(v))
         out = {k: m.avg for k, m in avg.items()}
         self.metrics.log(self.epoch, out, prefix="val")
         return out
