@@ -5,10 +5,17 @@ Capability parity with the reference ``ImageFit``
 sketch-quality (undefined names, tensors overwritten with booleans — SURVEY.md
 §2.1 #23); this implements the *intended* three-stage behavior:
 
-  stage 1 — camera init (``:110-137``): optimize camera translation + body
-    global orientation against the torso keypoints (OpenPose RHip/LHip/
-    RShoulder/LShoulder), with a depth regularizer toward an initial distance
-    estimate (``trans_estimation = 10`` in the reference, ``:32``);
+  stage 1 — camera init (``:110-137``): optimize camera ROTATION +
+    translation + body global orientation against the torso keypoints
+    (OpenPose RHip/LHip/RShoulder/LShoulder), with a depth regularizer
+    toward an initial distance estimate (``trans_estimation = 10`` in the
+    reference, ``:32``). The reference's ``PerspectiveCamera`` registers
+    rotation as a learnable ``nn.Parameter`` (``exp_utils.py:90-95``) — a
+    raw 3x3 that gradient steps would drift off SO(3); here rotation is
+    parameterized as axis-angle and mapped through
+    ``axis_angle_to_matrix``, so it stays a rotation while optimizing
+    (set ``optimize_camera_rotation=False`` for the fixed-identity
+    SMPLify convention);
   stage 2 — full-body fit (``:139-168``): optimize pose + orientation + betas
     under confidence-weighted 2D reprojection error + the pose prior;
   stage 3 — pose refinement (``:183-213``): the denoising schedule (prior +
@@ -73,12 +80,14 @@ STAGE3_SPECS = {
 
 class ImageFitter:
     def __init__(self, module, params, body_model: BodyModel,
-                 trans_estimation: float = 10.0, focal_length: float = 5000.0):
+                 trans_estimation: float = 10.0, focal_length: float = 5000.0,
+                 optimize_camera_rotation: bool = True):
         self.module = module
         self.params = params
         self.body_model = body_model
         self.trans_estimation = trans_estimation
         self.focal_length = focal_length
+        self.optimize_camera_rotation = optimize_camera_rotation
         # stage solvers cached by (batch, iterations, steps_per_iter): all
         # per-image data flows through the solver's aux pytree, so fitting a
         # folder of same-shaped keypoint files compiles each stage ONCE (the
@@ -107,10 +116,16 @@ class ImageFitter:
         def fk(betas, orient, pose):
             return lbs_forward(smpl_model, betas, orient, pose)
 
+        opt_rot = self.optimize_camera_rotation
+
         def stage1_terms(p, aux):
+            from posendf_tpu.quat import axis_angle_to_matrix
+
             _, joints = fk(jnp.zeros((B, n_betas)), p["global_orient"],
                            jnp.zeros((B, 69)))
-            cam = {"rotation": aux["rot0"], "translation": p["translation"]}
+            rot = (axis_angle_to_matrix(p["cam_rot"]) if opt_rot
+                   else aux["rot0"])
+            cam = {"rotation": rot, "translation": p["translation"]}
             proj = project_points(cam, self._mapped_joints(joints), focal,
                                   aux["center"])
             err = jnp.sum((proj[:, torso] - aux["gt_xy"][:, torso]) ** 2)
@@ -119,7 +134,7 @@ class ImageFitter:
 
         def stage2_terms(p, aux):
             _, joints = fk(p["betas"], p["global_orient"], p["pose_body"])
-            cam = {"rotation": aux["rot0"], "translation": aux["translation"]}
+            cam = {"rotation": aux["rot"], "translation": aux["translation"]}
             proj = project_points(cam, self._mapped_joints(joints), focal,
                                   aux["center"])
             conf = aux["conf"]
@@ -170,14 +185,23 @@ class ImageFitter:
         def fk(betas, orient, pose):
             return lbs_forward(self.body_model.model, betas, orient, pose)
 
-        # ---- stage 1: camera translation + global orient on torso joints
+        # ---- stage 1: camera rotation + translation + global orient on
+        # torso joints
         cam0 = init_camera(B)
         cam0["translation"] = cam0["translation"].at[:, 2].set(self.trans_estimation)
         rot0 = cam0["rotation"]
         stage1_init = {"translation": cam0["translation"],
                        "global_orient": jnp.zeros((B, 3))}
+        if self.optimize_camera_rotation:
+            stage1_init["cam_rot"] = jnp.zeros((B, 3))
         p1, h1 = solve1(stage1_init,
                         {"rot0": rot0, "center": center_arr, "gt_xy": gt_xy})
+        if self.optimize_camera_rotation:
+            from posendf_tpu.quat import axis_angle_to_matrix
+
+            rot = axis_angle_to_matrix(jax.lax.stop_gradient(p1["cam_rot"]))
+        else:
+            rot = rot0
 
         # ---- stage 2: full body (pose, orient, betas) vs all keypoints + prior
         translation = jax.lax.stop_gradient(p1["translation"])
@@ -187,7 +211,7 @@ class ImageFitter:
             "betas": jnp.zeros((B, n_betas)),
         }
         p2, h2 = solve2(stage2_init,
-                        {"rot0": rot0, "center": center_arr, "gt_xy": gt_xy,
+                        {"rot": rot, "center": center_arr, "gt_xy": gt_xy,
                          "conf": conf, "translation": translation})
 
         # ---- stage 3: pose refinement around the stage-2 solution
@@ -204,6 +228,7 @@ class ImageFitter:
             "global_orient": orient2,
             "betas": betas2,
             "camera_translation": translation,
+            "camera_rotation": rot,
         }
         metrics = {
             "stage1_final_data": float(h1["data"][-1]),

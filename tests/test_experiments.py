@@ -163,6 +163,40 @@ def test_image_fitter_end_to_end(field, body):
                            np.asarray(result["pose_body"]))
 
 
+def test_image_fitter_recovers_camera_rotation(field, body):
+    """Stage 1 optimizes camera ROTATION (reference surface:
+    exp_utils.py:68-143 registers it as an nn.Parameter): keypoints rendered
+    through a rotated camera must fit to low reprojection error with
+    rotation free, at least as well as the identity-locked camera (global
+    orient gives the locked camera partial gauge compensation, so the gap
+    is real but modest), and the solved rotation must leave the identity."""
+    from posendf_tpu.experiments.fit_image import SMPL_TO_OPENPOSE
+    from posendf_tpu.quat import axis_angle_to_matrix
+
+    module, params = field
+    out = body(pose_body=jnp.zeros((1, 69)))
+    # ground-truth camera: translation + a ~17 degree rotation
+    rot_aa = jnp.asarray([[0.2, -0.15, 0.1]])
+    cam = {"rotation": axis_angle_to_matrix(rot_aa),
+           "translation": jnp.asarray([[0.0, 0.0, 10.0]])}
+    gather = np.where(SMPL_TO_OPENPOSE >= 0, SMPL_TO_OPENPOSE, 0)
+    kp_xy = np.asarray(project_points(cam, out.Jtr[:, gather, :], 5000.0))[0]
+    conf = (SMPL_TO_OPENPOSE >= 0).astype(np.float32)
+    keypoints = np.concatenate([kp_xy, conf[:, None]], axis=1)
+
+    free = ImageFitter(module, params, body)
+    result, m_free = free.optimize(keypoints, iterations=4, steps_per_iter=25)
+    fixed = ImageFitter(module, params, body, optimize_camera_rotation=False)
+    _, m_fixed = fixed.optimize(keypoints, iterations=4, steps_per_iter=25)
+
+    assert result["camera_rotation"].shape == (1, 3, 3)
+    # the free camera must actually have moved off the identity
+    assert not np.allclose(np.asarray(result["camera_rotation"]),
+                           np.eye(3), atol=1e-3)
+    assert m_free["stage1_final_data"] <= m_fixed["stage1_final_data"]
+    assert m_free["stage1_final_data"] < 0.1  # px^2 over 4 torso joints
+
+
 def test_mesh_export_and_render(tmp_path, body):
     out = body(pose_body=jnp.zeros((2, 69)))
     paths = save_meshes(str(tmp_path), np.asarray(out.vertices), out.faces, prefix="t")
