@@ -105,6 +105,10 @@ def _fused_encoder_core(quat, w1, b1, w2, b2, parents, activation, beta, tile_b)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # raise Mosaic's 16 MB default scoped-VMEM cap (v5e physical VMEM is
+        # larger) — unlocks the 4096 tile (~9 MB peak)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((J, F, B), quat.dtype),
     )(parents_arr, pmask, q_t, w1a, w1b, b1, w2t, b2)
     return jnp.transpose(out, (2, 0, 1)).reshape(B, J * F)
@@ -140,14 +144,15 @@ def fused_structure_encoder(
     parents: Tuple[int, ...],
     activation: str = "lrelu",
     beta: float = 100.0,
-    tile_b: int = 2048,
+    tile_b: int = 8192,
 ) -> jax.Array:
     """Fused-forward structure encoder: (B, J, 4) -> (B, J*F).
 
     Pads the batch to a tile multiple (Pallas grids need static whole tiles)
-    and slices the result back. tile_b = 2048 keeps the double-buffered
-    in/out blocks + feature scratch well under the 16 MB VMEM budget
-    (~4.5 MB) while saturating lanes; 8192 OOMs VMEM.
+    and slices the result back. tile_b = 8192 (needs the raised scoped-VMEM
+    cap below; ~18 MB peak) measures fastest on v5e — 0.35 ms vs 0.44 ms at
+    the 16 MB-compatible 2048 for a 131k batch: fewer walks of the
+    21-joint chain, wider lanes per small matmul.
     """
     B = quat.shape[0]
     tile_b = min(tile_b, max(128, 1 << (B - 1).bit_length()))

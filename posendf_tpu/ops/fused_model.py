@@ -114,6 +114,10 @@ def _fused_model_core(quat, enc_params, dfnet_params, parents, activation,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # raise Mosaic's 16 MB default scoped-VMEM cap (v5e physical VMEM is
+        # larger) so tiles past 1024 compile (see ops/fused_grad.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((B, 1), quat.dtype),
     )(parents_arr, pmask, q_t, w1a, w1b, b1, w2t, b2, *layer_args)
 
@@ -162,14 +166,17 @@ def fused_posendf_forward(
     parents: Tuple[int, ...],
     activation: str = "lrelu",
     beta: float = 100.0,
-    tile_b: int = 512,
+    tile_b: int = 2048,
     normalize_input: bool = True,
     compute_dtype: str = "float32",
 ) -> jax.Array:
     """Whole-model fused forward: (B, 21, 4) -> (B, 1) distances.
 
-    tile_b = 512 keeps weights (5.5 MB) + peak activation (512 x 1024) +
-    scratch inside the 16 MB VMEM budget.
+    tile_b = 2048 (needs the raised scoped-VMEM cap; ~22 MB peak) measures
+    fastest on v5e — 50.5M evals/s at 131k batch vs 47.8M at tile 1024 and
+    47.3M at 4096; this is the fastest forward path in the framework,
+    beating the fused-encoder + XLA-DFNet pipeline (47.6M). tile 512 is the
+    16 MB-compatible fallback.
     """
     B = quat.shape[0]
     num_layers = 0
