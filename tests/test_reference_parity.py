@@ -43,12 +43,13 @@ REFERENCE_ROOT = "/root/reference"
 
 
 def _stub_module(name: str, **attrs) -> None:
-    if name in sys.modules:
-        return
-    mod = types.ModuleType(name)
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
     for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
 
 
 def _unavailable(*_a, **_k):
@@ -228,6 +229,33 @@ def test_geodesic_metric_parity_vs_reference_source(reference, rng):
         np.testing.assert_allclose(np.asarray(-vals), val_ref.numpy(),
                                    atol=1e-6, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+
+
+def test_quat_flip_parity_vs_reference_source(rng):
+    """quat_flip (model/load_data.py:12-16): the w >= 0 canonicalization the
+    training reader applies — pure numpy upstream, so compared directly."""
+    _stub_module("ipdb", set_trace=lambda: None)
+    _stub_module(
+        "pytorch3d.transforms",
+        axis_angle_to_quaternion=_unavailable,
+        axis_angle_to_matrix=_unavailable,
+        matrix_to_rotation_6d=_unavailable,
+    )
+    _stub_module("pytorch3d", transforms=sys.modules["pytorch3d.transforms"])
+    sys.path.insert(0, REFERENCE_ROOT)
+    try:
+        import model.load_data as ref_load_data
+    finally:
+        sys.path.remove(REFERENCE_ROOT)
+
+    from posendf_tpu.quat import quat_flip
+
+    q = rng.normal(size=(32, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    ref_flipped, _ = ref_load_data.quat_flip(q.copy())
+    ours = np.asarray(quat_flip(jnp.asarray(q)))
+    np.testing.assert_allclose(ours, ref_flipped, atol=1e-7)
+    assert (ours[..., 0] >= 0).all()
 
 
 def test_euclidean_metric_parity_vs_reference_source(reference, rng):
