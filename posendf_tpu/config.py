@@ -84,6 +84,7 @@ class TrainConfig:
     dist: float = 1.0
     eikonal: float = 1.0
     flip: bool = False             # quat_flip training inputs (w >= 0)
+    remat: bool = False            # jax.checkpoint the loss forwards (big batches)
     ckpt_backend: str = "msgpack"  # or 'orbax'
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -45,16 +45,30 @@ def training_loss(
     weight_dist: float = 1.0,
     weight_man: float = 1.0,
     weight_eikonal: float = 1.0,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total weighted loss and per-term dict (weights applied by the caller
     in the reference trainer ``model/train_posendf.py:94-97``; here the total
-    is returned directly alongside unweighted terms for logging)."""
+    is returned directly alongside unweighted terms for logging).
+
+    ``remat=True`` wraps the distance function in ``jax.checkpoint``: the
+    outer parameter gradient recomputes the forward's per-layer activations
+    instead of keeping them alive across the eikonal grad-of-grad — trades
+    ~1 extra forward of FLOPs for the activation memory that makes
+    big-batch (>=64k poses) training steps go HBM-bound. Same math either
+    way (tested; gradients agree up to recompute reassociation noise);
+    leave off at the reference's 20k batch, where activations fit and the
+    recompute only costs time.
+    """
     pose = pose.reshape(-1, 21, 4)
     man_poses = man_poses.reshape(-1, 21, 4)
     dist_gt = dist_gt.reshape(-1)
 
     def f(p):
         return module.apply({"params": params}, p)
+
+    if remat:
+        f = jax.checkpoint(f)
 
     dist_pred, pullback = jax.vjp(f, pose)
     (grad_pose,) = pullback(jnp.ones_like(dist_pred))
@@ -66,7 +80,12 @@ def training_loss(
     else:
         raise ValueError(f"unknown loss_type {loss_type!r}")
 
-    dist_man = module.apply({"params": params}, man_poses, normalize_input=False)
+    def f_man(p):
+        return module.apply({"params": params}, p, normalize_input=False)
+
+    if remat:
+        f_man = jax.checkpoint(f_man)
+    dist_man = f_man(man_poses)
     loss_man = jnp.mean(jnp.abs(dist_man))
 
     # gradient-safe norm: grad_pose can be EXACTLY zero where the head

@@ -45,9 +45,13 @@ def make_optimizer(lr: float, weight_decay: float = 1e-4) -> optax.GradientTrans
     )
 
 
-def make_train_step(module, optimizer, *, loss_type: str, weights: Dict[str, float]):
+def make_train_step(module, optimizer, *, loss_type: str,
+                    weights: Dict[str, float], remat: bool = False):
     """Build the pure train-step function (params, opt_state, batch) ->
-    (params, opt_state, metrics). Jit/shard it at the call site."""
+    (params, opt_state, metrics). Jit/shard it at the call site.
+    ``remat``: rematerialize the loss forwards under the outer grad
+    (``losses.training_loss(remat=...)``) — the memory lever for >=64k-pose
+    batches."""
 
     def step(params, opt_state, batch):
         def loss_fn(p):
@@ -58,6 +62,7 @@ def make_train_step(module, optimizer, *, loss_type: str, weights: Dict[str, flo
                 weight_dist=weights["dist"],
                 weight_man=weights["man_loss"],
                 weight_eikonal=weights["eikonal"],
+                remat=remat,
             )
 
         (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -124,6 +129,7 @@ class Trainer:
             loss_type=cfg.train.loss_type,
             weights={"dist": cfg.train.dist, "man_loss": cfg.train.man_loss,
                      "eikonal": cfg.train.eikonal},
+            remat=cfg.train.remat,
         )
         if mesh is not None:
             repl = NamedSharding(mesh, P())

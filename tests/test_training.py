@@ -142,3 +142,39 @@ def test_orbax_checkpoint_backend(dataset, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(t1.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(t2.params)[0]))
+
+
+def test_remat_identical_values_and_grads(rng):
+    """training_loss(remat=True) must produce the same total and parameter
+    gradients as the default path up to recompute reassociation noise —
+    jax.checkpoint only changes what the backward recomputes, never the math
+    (the big-batch memory lever, docs/ARCHITECTURE.md section 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posendf_tpu.config import PoseNDFConfig
+    from posendf_tpu.losses import training_loss
+
+    cfg = PoseNDFConfig()
+    cfg.dfnet.act = "softplus"
+    cfg.strenc.act = "softplus"
+    module = cfg.make_model()
+    params = module.init(jax.random.key(5), jnp.zeros((1, 21, 4)))["params"]
+    B = 16
+    pose = rng.normal(size=(B, 21, 4)).astype(np.float32)
+    pose /= np.linalg.norm(pose, axis=-1, keepdims=True)
+    man = rng.normal(size=(B, 21, 4)).astype(np.float32)
+    man /= np.linalg.norm(man, axis=-1, keepdims=True)
+    dist_gt = np.abs(rng.normal(size=B)).astype(np.float32)
+
+    def loss(p, remat):
+        return training_loss(module, p, jnp.asarray(pose), jnp.asarray(dist_gt),
+                             jnp.asarray(man), remat=remat)[0]
+
+    t0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    t1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(t1), float(t0), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-7),
+        g0, g1)
