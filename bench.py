@@ -314,7 +314,12 @@ def main():
         from posendf_tpu.parallel import make_mesh
 
         mesh = make_mesh(("data",))
-        corpus_dev = jnp.concatenate([pose, pose])[: 1 << 18]  # stays on device
+        # reuse the 262k corpus the knn section built (one ~88 MB device
+        # buffer + one host copy, not two of each)
+        try:
+            corpus_dev = corpus
+        except NameError:  # knn section failed before building it
+            corpus_dev = jnp.concatenate([pose, pose])[: 1 << 18]
         corpus_np262 = np.asarray(corpus_dev)
         clean = np.asarray(pose[:256])
         nq = 8192

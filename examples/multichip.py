@@ -90,11 +90,12 @@ def main():
     trainer = Trainer(cfg, mesh=mesh)
     batcher = TrainingBatcher(labeled, amass, batch_size=2,
                               num_pts=64 * n, seed=0)
-    for _ in range(args.epochs):
+    stats = None
+    for _ in range(max(args.epochs, 1)):
         stats = trainer.train_epoch(iter([batcher.sample_batch()
                                           for _ in range(2)]))
         trainer.epoch += 1
-    print(f"== 2. SPMD training ({args.epochs} epochs): total="
+    print(f"== 2. SPMD training ({max(args.epochs, 1)} epochs): total="
           f"{stats['total']:.5f} dist={stats['dist']:.5f}")
 
     # ---- 3. frame-sharded denoising ----------------------------------------

@@ -208,8 +208,18 @@ def sample_noisy_queries(
     distribution the reference trained on.
     """
     rng = rng or np.random.default_rng(0)
+    if runs > 1 and num_samples % runs:
+        raise ValueError(
+            f"num_samples={num_samples} must divide evenly into runs={runs} "
+            "(the reference draws equal-sized run batches, "
+            "prepare_traindata.py:45) — truncating silently would return "
+            "fewer queries than requested")
     out = []
     per_run = num_samples // runs if runs > 1 else num_samples
+    if int(spec.counts(per_run).sum()) == 0:
+        raise ValueError(
+            f"num_samples={num_samples} over runs={runs} rounds every "
+            "per-sigma count to zero — nothing to sample")
     for _ in range(runs):
         for sigma, n in zip(spec.sigmas, spec.counts(per_run)):
             if n == 0:

@@ -137,6 +137,20 @@ def _fused_bwd(parents, activation, beta, num_layers, tile_b,
     from posendf_tpu.models.activations import resolve
     from posendf_tpu.quat import joint_axis_normalize
 
+    if jnp.dtype(compute_dtype) != jnp.float32:
+        # The XLA fallback below differentiates the fp32 idealization of the
+        # forward, but the bf16 kernel's values sit on (potentially) the
+        # other side of lrelu/relu kinks — the "gradient" would not belong
+        # to the function whose value was returned. The solver fast paths
+        # never differentiate through this kernel; anyone who does under
+        # bf16 should use the XLA model, whose autodiff differentiates the
+        # real bf16 computation.
+        raise NotImplementedError(
+            "differentiating through the fused whole-model forward with "
+            f"compute_dtype={compute_dtype!r} is unsupported (the fallback "
+            "backward would be the gradient of the fp32 function, not the "
+            "bf16 one) — use the XLA model (PoseNDF.apply) for gradients")
+
     quat, enc_params, dfnet_params = residuals
 
     def ref_forward(q, ep, dp):

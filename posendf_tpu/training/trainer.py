@@ -155,6 +155,20 @@ class Trainer:
         self.params, self.opt_state, metrics = self._step(self.params, self.opt_state, batch)
         return metrics
 
+    @staticmethod
+    def _drain_metrics(step_metrics, keys) -> Dict[str, "RunningAverage"]:
+        """Average per-step metric dicts with ONE host readback: stack each
+        key on device, device_get the whole pass at once (a float() per
+        batch costs one relay round-trip each)."""
+        avg = {k: RunningAverage() for k in keys}
+        if step_metrics:
+            stacked = {k: jnp.stack([m[k] for m in step_metrics]) for k in keys}
+            host = jax.device_get(stacked)
+            for k in keys:
+                for v in np.asarray(host[k]):
+                    avg[k].update(float(v))
+        return avg
+
     def train_epoch(self, batches: Iterator[Dict[str, Any]]) -> Dict[str, float]:
         """One epoch; returns averaged metrics (+ throughput).
 
@@ -163,20 +177,13 @@ class Trainer:
         epoch's values are pulled back once at the end.
         """
         keys = ("total", "dist", "man_loss", "eikonal")
-        avg = {k: RunningAverage() for k in keys}
         step_metrics = []
         n_poses = 0
         t0 = time.time()
         for batch in batches:
             n_poses += batch["pose"].shape[0]
             step_metrics.append(self.train_step(batch))
-        if step_metrics:
-            # one sync: stack on device, read back the whole epoch at once
-            stacked = {k: jnp.stack([m[k] for m in step_metrics]) for k in keys}
-            host = jax.device_get(stacked)
-            for k in keys:
-                for v in np.asarray(host[k]):
-                    avg[k].update(float(v))
+        avg = self._drain_metrics(step_metrics, keys)
         dt = max(time.time() - t0, 1e-9)
         out = {k: m.avg for k, m in avg.items()}
         out["poses_per_sec"] = n_poses / dt
@@ -210,16 +217,8 @@ class Trainer:
 
             self._eval_step = jax.jit(eval_step)
         keys = ("total", "dist", "man_loss", "eikonal")
-        avg = {k: RunningAverage() for k in keys}
-        # like train_epoch: metrics stay on device per batch (a float() per
-        # batch costs one relay RTT each), one readback for the whole pass
         step_metrics = [self._eval_step(self.params, batch) for batch in batches]
-        if step_metrics:
-            stacked = {k: jnp.stack([m[k] for m in step_metrics]) for k in keys}
-            host = jax.device_get(stacked)
-            for k in keys:
-                for v in np.asarray(host[k]):
-                    avg[k].update(float(v))
+        avg = self._drain_metrics(step_metrics, keys)
         out = {k: m.avg for k, m in avg.items()}
         self.metrics.log(self.epoch, out, prefix="val")
         return out

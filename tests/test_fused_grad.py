@@ -191,6 +191,28 @@ def test_field_fused_bf16_accepted(rng):
     assert bool(jnp.isfinite(d).all()) and bool(jnp.isfinite(out).all())
 
 
+def test_fused_model_bf16_gradients_refused(rng):
+    """Differentiating the whole-model kernel under bf16 must raise: the
+    XLA-fallback backward would be the gradient of the fp32 idealization,
+    not of the bf16 forward whose value was returned."""
+    from posendf_tpu.ops.fused_model import fused_posendf_forward
+
+    cfg = PoseNDFConfig()
+    module = cfg.make_model()
+    params = module.init(jax.random.key(6), jnp.zeros((1, 21, 4)))["params"]
+    q = _poses(rng, 128)
+
+    def f(qq):
+        return jnp.sum(fused_posendf_forward(
+            qq, params["enc"], params["dfnet"], parents=module.parents,
+            activation=module.activation, beta=module.beta, tile_b=128,
+            compute_dtype="bfloat16"))
+
+    with pltpu.force_tpu_interpret_mode():
+        with pytest.raises(NotImplementedError, match="bf16|bfloat16"):
+            jax.grad(f)(q)
+
+
 def test_fused_projection_softplus(rng):
     """Non-trivial field values + fp32 pre-activation storage path."""
     cfg = PoseNDFConfig()

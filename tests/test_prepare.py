@@ -106,6 +106,19 @@ def test_noisy_queries_shared_noise_quirk(rng):
     assert not np.allclose(qp[0], qp[1])
 
 
+def test_noisy_queries_rejects_silent_truncation(rng):
+    """runs must divide num_samples (truncating would return fewer queries
+    than requested), and degenerate per-run counts raise instead of
+    crashing in np.concatenate."""
+    import pytest
+
+    clean = synthetic_manifold_poses(rng, 16)
+    with pytest.raises(ValueError, match="divide"):
+        sample_noisy_queries(clean, 1005, NoiseSpec(), rng, runs=10)
+    with pytest.raises(ValueError, match="zero"):
+        sample_noisy_queries(clean, 10, NoiseSpec(), rng, runs=10)
+
+
 def test_noisy_queries_match_reference_port(rng):
     """The default path must equal a direct numpy port of the reference
     sampler loop (create_data.py:85-91) driven by the same Generator."""
