@@ -23,7 +23,34 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "P"]
+__all__ = ["init_distributed", "make_mesh", "data_sharding", "replicated",
+           "shard_batch", "P"]
+
+
+def init_distributed(**kwargs) -> int:
+    """Initialize multi-host JAX (one process per host of a pod slice).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on TPU pods the
+    coordinator address, process count and process id auto-detect from the
+    TPU metadata, so a bare ``init_distributed()`` at program start is
+    enough; kwargs pass through for non-auto environments
+    (``coordinator_address=``, ``num_processes=``, ``process_id=``).
+    After this, ``jax.devices()`` spans the whole slice and
+    ``make_mesh(("data",))`` builds the global mesh; everything else in
+    this package (the SPMD train step, sharded labeling, frame-sharded
+    denoising) is already formulated over ``jax.devices()`` and runs
+    unchanged. Idempotent: a second call is a no-op.
+
+    Returns the process index (0 on single-host setups or if distributed
+    initialization is unavailable).
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+    except Exception:
+        return 0  # single-host / no coordinator reachable: local-only mode
+    return jax.process_index()
 
 
 def make_mesh(

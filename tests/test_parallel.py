@@ -125,3 +125,15 @@ def test_sharded_projection_matches_single_device(rng):
     out, hist = project(module, params, sharded, steps=5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hist), np.asarray(ref_hist), atol=1e-6)
+
+
+def test_init_distributed_single_host():
+    """init_distributed is safe and idempotent on a single host: returns
+    process index 0 (whether the coordination service starts or local-only
+    mode falls back) and leaves the device mesh usable."""
+    from posendf_tpu.parallel import init_distributed, make_mesh
+
+    assert init_distributed() == 0
+    assert init_distributed() == 0  # second call: no-op
+    mesh = make_mesh(("data",))
+    assert mesh.devices.size >= 1
