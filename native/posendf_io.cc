@@ -10,8 +10,16 @@
 //     a raw pointer — no decode, no copy, page cache shared across epochs;
 //   * multithreaded batch assembly: the hot loop of training input — gather
 //     num_pts random rows per file, reduce the k distance labels to their
-//     mean, optional w>=0 quaternion canonicalization — runs on a small
-//     thread pool writing directly into the caller's pinned buffer.
+//     mean, optional w>=0 quaternion canonicalization — fans out over worker
+//     threads (spawned per call above a size threshold; thread creation is
+//     ~10 us against millisecond gathers) writing directly into the
+//     caller's buffer. Row sampling is seeded PER ITEM, so results are
+//     identical for any thread count.
+//
+// Alignment note: np.savez places .npy float payloads at arbitrary byte
+// offsets inside the zip (measured: 2 mod 4), so payloads are addressed as
+// const char* and every scalar read goes through an alignment-safe memcpy
+// load — never a reinterpret_cast<const float*> dereference.
 //
 // Exposed as a plain C ABI consumed via ctypes (posendf_tpu/data/native.py).
 // Build: native/build.sh -> libposendf_io.so.
@@ -61,6 +69,8 @@ struct NpzFile {
 
 uint16_t rd16(const char* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
 uint32_t rd32(const char* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+// alignment-safe float load (payloads are NOT 4-byte aligned in npz files)
+inline float ldf(const char* p) { float v; std::memcpy(&v, p, 4); return v; }
 
 bool parse_npy(const char* p, size_t len, NpyArray* out) {
   if (len < 10 || std::memcmp(p, "\x93NUMPY", 6) != 0) return false;
@@ -101,6 +111,11 @@ bool parse_npy(const char* p, size_t len, NpyArray* out) {
     else if (cur >= 0) { out->shape.push_back(cur); cur = -1; }
   }
   if (cur >= 0) out->shape.push_back(cur);
+  // the header's claimed extent must fit inside the zip entry payload —
+  // otherwise every later row gather reads out of bounds
+  int64_t total = out->itemsize;
+  for (int64_t d : out->shape) total *= d;
+  if (header_off + header_len + static_cast<size_t>(total) > len) return false;
   out->data = p + header_off + header_len;
   return true;
 }
@@ -125,6 +140,7 @@ NpzFile* open_npz(const char* path) {
     uint64_t comp_size = rd32(p + 18);
     const uint16_t name_len = rd16(p + 26);
     const uint16_t extra_len = rd16(p + 28);
+    if (off + 30 + static_cast<size_t>(name_len) + extra_len > f->size) break;
     std::string name(p + 30, name_len);
     const char* payload = p + 30 + name_len + extra_len;
     // zip64: full 64-bit sizes live in the 0x0001 extra field (layout:
@@ -142,6 +158,9 @@ NpzFile* open_npz(const char* path) {
         e += 4 + sz;
       }
     }
+    // a truncated/corrupt entry must not walk the parser past the mapping
+    if (comp_size > f->size ||
+        static_cast<size_t>(payload - f->base) > f->size - comp_size) break;
     if (method == 0 && name.size() > 4 &&
         name.compare(name.size() - 4, 4, ".npy") == 0) {
       NpyArray arr;
@@ -162,23 +181,24 @@ void close_npz(NpzFile* f) {
   delete f;
 }
 
-// splitmix64 — deterministic per-call RNG, seeded from the caller
-struct Rng {
-  uint64_t s;
-  explicit Rng(uint64_t seed) : s(seed) {}
-  uint64_t next() {
-    s += 0x9E3779B97f4A7C15ull;
-    uint64_t z = s;
-    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
-    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
-    return z ^ (z >> 31);
-  }
-  int64_t below(int64_t n) { return static_cast<int64_t>(next() % static_cast<uint64_t>(n)); }
-};
+// splitmix64 hash — one deterministic draw per (seed, item) pair, so the
+// sampled rows are identical for ANY thread count / chunking (the training
+// pipeline documents batches as reproducible from (seed, epoch) alone)
+inline uint64_t mix64(uint64_t z) {
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  return z ^ (z >> 31);
+}
+inline int64_t draw_below(uint64_t seed, int64_t i, int64_t n) {
+  const uint64_t z =
+      mix64(seed + 0x9E3779B97f4A7C15ull * (static_cast<uint64_t>(i) + 1));
+  return static_cast<int64_t>(z % static_cast<uint64_t>(n));
+}
 
 void parallel_for(int64_t n, int threads, const std::function<void(int64_t, int64_t)>& fn) {
   threads = std::max(1, threads);
-  if (threads == 1 || n < 2) { fn(0, n); return; }
+  // below ~4k items thread spawn overhead rivals the gather itself
+  if (threads == 1 || n < 4096) { fn(0, n); return; }
   std::vector<std::thread> pool;
   int64_t chunk = (n + threads - 1) / threads;
   for (int t = 0; t < threads; ++t) {
@@ -232,29 +252,32 @@ int pndf_sample_labeled(void* handle, int64_t n, uint64_t seed, int flip,
   const int64_t pe = pose.row_elems();     // 84 (21*4)
   const int64_t ke = dist.row_elems();     // k labels per row
   if (rows <= 0 || pe % 4 != 0) return 3;
-  const float* pbase = reinterpret_cast<const float*>(pose.data);
-  const float* dbase = reinterpret_cast<const float*>(dist.data);
+  // a dist array shorter than pose would silently index past its payload;
+  // ke == 0 would emit 0/0 = NaN labels
+  if (dist.rows() != rows || ke <= 0) return 4;
+  const char* pbase = pose.data;
+  const char* dbase = dist.data;
 
   parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
-    Rng rng(seed ^ (0xA5A5A5A5ull * static_cast<uint64_t>(lo + 1)));
     for (int64_t i = lo; i < hi; ++i) {
-      const int64_t r = rng.below(rows);
-      const float* src = pbase + r * pe;
+      const int64_t r = draw_below(seed, i, rows);
+      const char* src = pbase + r * pe * 4;
       float* dst = poses_out + i * pe;
       if (flip) {
         for (int64_t j = 0; j < pe; j += 4) {
-          const float sign = src[j] < 0.0f ? -1.0f : 1.0f;
-          dst[j] = sign * src[j];
-          dst[j + 1] = sign * src[j + 1];
-          dst[j + 2] = sign * src[j + 2];
-          dst[j + 3] = sign * src[j + 3];
+          const float w = ldf(src + j * 4);
+          const float sign = w < 0.0f ? -1.0f : 1.0f;
+          dst[j] = sign * w;
+          dst[j + 1] = sign * ldf(src + (j + 1) * 4);
+          dst[j + 2] = sign * ldf(src + (j + 2) * 4);
+          dst[j + 3] = sign * ldf(src + (j + 3) * 4);
         }
       } else {
         std::memcpy(dst, src, pe * sizeof(float));
       }
-      const float* drow = dbase + r * ke;
+      const char* drow = dbase + r * ke * 4;
       float acc = 0.0f;
-      for (int64_t j = 0; j < ke; ++j) acc += drow[j];
+      for (int64_t j = 0; j < ke; ++j) acc += ldf(drow + j * 4);
       dist_out[i] = acc / static_cast<float>(ke);
     }
   });
@@ -272,17 +295,19 @@ int pndf_sample_rows(void* handle, const char* key, int64_t n, uint64_t seed,
   const int64_t rows = arr.rows();
   const int64_t pe = arr.row_elems();
   if (rows <= 0) return 3;
-  const float* base = reinterpret_cast<const float*>(arr.data);
+  const char* base = arr.data;
 
   parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
-    Rng rng(seed ^ (0x5A5A5A5Aull * static_cast<uint64_t>(lo + 1)));
     for (int64_t i = lo; i < hi; ++i) {
-      const float* src = base + rng.below(rows) * pe;
+      const char* src = base + draw_below(seed, i, rows) * pe * 4;
       float* dst = out + i * pe;
       if (flip && pe % 4 == 0) {
         for (int64_t j = 0; j < pe; j += 4) {
-          const float sign = src[j] < 0.0f ? -1.0f : 1.0f;
-          for (int64_t c = 0; c < 4; ++c) dst[j + c] = sign * src[j + c];
+          const float w = ldf(src + j * 4);
+          const float sign = w < 0.0f ? -1.0f : 1.0f;
+          dst[j] = sign * w;
+          for (int64_t c = 1; c < 4; ++c)
+            dst[j + c] = sign * ldf(src + (j + c) * 4);
         }
       } else {
         std::memcpy(dst, src, pe * sizeof(float));

@@ -75,7 +75,16 @@ def available() -> bool:
     return _load_lib() is not None
 
 
-def _fptr(a: np.ndarray):
+def _fptr(a: np.ndarray, shape) -> "ctypes.POINTER(ctypes.c_float)":
+    """Float pointer for a C out-buffer — validated, because the C side
+    writes blindly: a wrong dtype means silently garbled data, a short or
+    strided buffer means heap corruption with no Python-level error."""
+    if a.dtype != np.float32:
+        raise TypeError(f"out buffer must be float32, got {a.dtype}")
+    if not a.flags["C_CONTIGUOUS"]:
+        raise ValueError("out buffer must be C-contiguous")
+    if a.shape != tuple(shape):
+        raise ValueError(f"out buffer shape {a.shape} != required {tuple(shape)}")
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
@@ -92,11 +101,16 @@ class NativeNpz:
             raise OSError(f"native open failed for {path} (compressed npz or bad file)")
         self.path = path
 
+    def _handle(self):
+        if not self._h:
+            raise ValueError(f"NativeNpz for {self.path} is closed")
+        return self._h
+
     def rows(self, key: str) -> int:
-        return int(self._lib.pndf_rows(self._h, key.encode()))
+        return int(self._lib.pndf_rows(self._handle(), key.encode()))
 
     def row_elems(self, key: str) -> int:
-        return int(self._lib.pndf_row_elems(self._h, key.encode()))
+        return int(self._lib.pndf_row_elems(self._handle(), key.encode()))
 
     def sample_labeled(self, n: int, seed: int, flip: bool = False,
                        threads: int = 4,
@@ -108,8 +122,8 @@ class NativeNpz:
         poses = poses_out if poses_out is not None else np.empty((n, pe), np.float32)
         dist = dist_out if dist_out is not None else np.empty((n,), np.float32)
         rc = self._lib.pndf_sample_labeled(
-            self._h, n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
-            _fptr(poses), _fptr(dist), threads)
+            self._handle(), n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
+            _fptr(poses, (n, pe)), _fptr(dist, (n,)), threads)
         if rc != 0:
             raise RuntimeError(f"pndf_sample_labeled failed rc={rc} for {self.path}")
         return poses.reshape(n, pe // 4, 4), dist
@@ -121,8 +135,8 @@ class NativeNpz:
             raise KeyError(f"{key} not in {self.path}")
         out = np.empty((n, pe), np.float32)
         rc = self._lib.pndf_sample_rows(
-            self._h, key.encode(), n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
-            _fptr(out), threads)
+            self._handle(), key.encode(), n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
+            _fptr(out, (n, pe)), threads)
         if rc != 0:
             raise RuntimeError(f"pndf_sample_rows failed rc={rc} for {self.path}")
         return out

@@ -10,19 +10,14 @@ Adam loops as the body pose.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CameraParams", "init_camera", "project_points"]
+__all__ = ["init_camera", "project_points"]
 
 FOCAL_LENGTH = 5000.0
-
-
-class CameraParams(NamedTuple):
-    rotation: jax.Array     # (B, 3, 3)
-    translation: jax.Array  # (B, 3)
 
 
 def init_camera(batch_size: int = 1, dtype=jnp.float32) -> Dict[str, jax.Array]:

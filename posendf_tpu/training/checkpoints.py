@@ -19,11 +19,34 @@ from __future__ import annotations
 
 import os
 import shutil
+import warnings
 from typing import Any, Dict, Optional, Tuple
 
 import flax.serialization as fser
 
 __all__ = ["CheckpointStore"]
+
+
+def _check_shapes(restored, template, path: str) -> None:
+    """flax.from_bytes does NOT validate shapes — it happily returns the
+    stored arrays whatever the template says. A silently mis-shaped restore
+    (model config changed under continue_train) would crash later or, worse,
+    train the wrong architecture; surface it here as a hard error. (Raising
+    beats falling back: 'previous' holds the same shapes, and a silent
+    fresh start would overwrite both rolling checkpoints.)"""
+    import jax
+
+    def chk(pathspec, a, b):
+        a_shape = getattr(a, "shape", None)
+        b_shape = getattr(b, "shape", None)
+        if a_shape != b_shape:
+            raise ValueError(
+                f"checkpoint {path} does not match the model: restored leaf "
+                f"{jax.tree_util.keystr(pathspec)} has shape {a_shape}, the "
+                f"current config expects {b_shape}. Either restore with the "
+                "original config or move/delete the checkpoint directory.")
+
+    jax.tree_util.tree_map_with_path(chk, restored, template)
 
 LATEST = "checkpoint_latest.msgpack"
 PREVIOUS = "checkpoint_previous.msgpack"
@@ -56,7 +79,10 @@ class CheckpointStore:
         with open(tmp, "wb") as f:
             f.write(data)
         if os.path.exists(self.latest_path):
-            shutil.copyfile(self.latest_path, os.path.join(self.directory, PREVIOUS))
+            # rename, not copy: O(1) metadata on the every-epoch hot path,
+            # equally crash-safe (restore() falls back to previous if the
+            # replace below never lands)
+            os.replace(self.latest_path, os.path.join(self.directory, PREVIOUS))
         os.replace(tmp, self.latest_path)
         return self.latest_path
 
@@ -75,9 +101,18 @@ class CheckpointStore:
             try:
                 with open(path, "rb") as f:
                     payload = fser.from_bytes({"epoch": 0, "state": template}, f.read())
-                return payload["state"], int(payload["epoch"])
-            except Exception:
+            except Exception as e:
+                # a torn latest (preemption mid-write) is what the rolling
+                # pair is FOR — fall through to previous. But tell the user
+                # why: a silently-swallowed template/shape mismatch (e.g.
+                # changed model dims under continue_train) would otherwise
+                # restart from epoch 0 and overwrite both checkpoints.
+                warnings.warn(
+                    f"checkpoint {path} failed to restore ({type(e).__name__}: "
+                    f"{e}); falling back", stacklevel=2)
                 continue
+            _check_shapes(payload["state"], template, path)
+            return payload["state"], int(payload["epoch"])
         return None
 
     # ---- orbax backend -----------------------------------------------------
@@ -113,7 +148,11 @@ class CheckpointStore:
                 continue
             try:
                 payload = self._ckptr.restore(os.path.abspath(path), target)
-                return payload["state"], int(payload["epoch"])
-            except Exception:
+            except Exception as e:
+                warnings.warn(
+                    f"orbax checkpoint {path} failed to restore "
+                    f"({type(e).__name__}: {e}); falling back", stacklevel=2)
                 continue
+            _check_shapes(payload["state"], template, path)
+            return payload["state"], int(payload["epoch"])
         return None

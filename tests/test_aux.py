@@ -166,3 +166,23 @@ def test_prefetch_propagates_worker_errors():
     next(stream)
     with pytest.raises(RuntimeError, match="corrupt file"):
         list(stream)
+
+
+def test_checkpoint_restore_rejects_changed_model_shapes(tmp_path):
+    """flax.from_bytes silently returns the STORED shapes whatever the
+    template says — restore() must catch the mismatch (model config changed
+    under continue_train) and raise instead of handing back a wrong-shaped
+    pytree or silently restarting from epoch 0."""
+    import numpy as np
+    import pytest
+
+    from posendf_tpu.training.checkpoints import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path))
+    store.save({"params": {"w": np.zeros((4, 4), np.float32)}}, epoch=3)
+    # same shapes: restores fine
+    out = store.restore({"params": {"w": np.ones((4, 4), np.float32)}})
+    assert out is not None and out[1] == 3
+    # changed shapes: hard error naming the offending leaf
+    with pytest.raises(ValueError, match="shape"):
+        store.restore({"params": {"w": np.ones((8, 8), np.float32)}})

@@ -104,3 +104,82 @@ def test_fallback_on_compressed_npz(tmp_path):
     np.savez_compressed(path, pose=rng.normal(size=(10, 21, 4)).astype(np.float32))
     with pytest.raises(OSError):
         native.NativeNpz(str(path))
+
+
+def test_use_after_close_raises(npz_file):
+    path, _, _ = npz_file
+    h = native.NativeNpz(path)
+    h.close()
+    with pytest.raises(ValueError, match="closed"):
+        h.rows("pose")
+    with pytest.raises(ValueError, match="closed"):
+        h.sample_labeled(8, seed=0)
+
+
+def test_out_buffer_validation(npz_file):
+    """Caller-supplied out buffers are validated before the C kernel writes
+    blindly into them (wrong dtype = silent garbage; short/strided buffer =
+    heap corruption)."""
+    path, _, _ = npz_file
+    h = native.NativeNpz(path)
+    with pytest.raises(TypeError, match="float32"):
+        h.sample_labeled(8, seed=0, poses_out=np.empty((8, 84), np.float64),
+                         dist_out=np.empty((8,), np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        h.sample_labeled(8, seed=0, poses_out=np.empty((4, 84), np.float32),
+                         dist_out=np.empty((8,), np.float32))
+    with pytest.raises(ValueError, match="contiguous"):
+        h.sample_labeled(8, seed=0,
+                         poses_out=np.empty((8, 168), np.float32)[:, ::2],
+                         dist_out=np.empty((8,), np.float32))
+    h.close()
+
+
+def test_sampling_thread_count_invariant(npz_file):
+    """Row sampling is seeded per item, so the drawn rows are identical for
+    any thread count — the pipeline documents reproducibility from
+    (seed, epoch) alone, independent of native_threads."""
+    path, _, _ = npz_file
+    h = native.NativeNpz(path)
+    n = 8192  # above the parallel_for threshold so threads actually differ
+    p1, d1 = h.sample_labeled(n, seed=123, threads=1)
+    p4, d4 = h.sample_labeled(n, seed=123, threads=4)
+    np.testing.assert_array_equal(p1, p4)
+    np.testing.assert_array_equal(d1, d4)
+    r1 = h.sample_rows("pose", n, seed=9, threads=1)
+    r3 = h.sample_rows("pose", n, seed=9, threads=3)
+    np.testing.assert_array_equal(r1, r3)
+    h.close()
+
+
+def test_mismatched_dist_rows_rejected(tmp_path):
+    """A labeled file whose dist array is shorter than pose must be refused
+    (rc=4), not silently read out of bounds."""
+    rng = np.random.default_rng(1)
+    path = tmp_path / "bad.npz"
+    np.savez(path,
+             pose=rng.normal(size=(100, 21, 4)).astype(np.float32),
+             dist=np.abs(rng.normal(size=(40, 5))).astype(np.float32))
+    h = native.NativeNpz(str(path))
+    with pytest.raises(RuntimeError, match="rc=4"):
+        h.sample_labeled(16, seed=0)
+    h.close()
+
+
+def test_truncated_npz_fails_cleanly(tmp_path, npz_file):
+    """A truncated file must fail at open (or parse) — never walk the zip
+    parser past the end of the mapping."""
+    src, _, _ = npz_file
+    raw = open(src, "rb").read()
+    path = tmp_path / "trunc.npz"
+    path.write_bytes(raw[: len(raw) // 3])
+    try:
+        h = native.NativeNpz(str(path))
+    except OSError:
+        return  # clean refusal at open
+    # if the header parsed enough to open, sampling must still be safe
+    try:
+        h.sample_labeled(8, seed=0)
+    except RuntimeError:
+        pass
+    h.close()
