@@ -5,9 +5,16 @@ Capability parity with the reference training reader
 random (pose, distance-label) rows from one labeled .npz file (distance =
 mean of the 5 kNN distances, ``load_data.py:53``) plus ``num_pts`` clean
 "manifold" poses from one random raw-AMASS quaternion file; a step batches
-``batch_size`` such draws. Optional ``quat_flip`` canonicalization (applied
-to BOTH branches here — the reference had a bug flipping the noisy poses
-twice and the manifold poses never, ``load_data.py:63``).
+``batch_size`` such draws; ``epoch()`` visits every labeled file exactly
+once per epoch in a seeded permutation, dropping the last partial batch —
+the reference's ``DataLoader(shuffle=True, drop_last=True)`` semantics.
+
+``flip`` quirk (reference ``load_data.py:51-63``): upstream flips the noisy
+poses, then assigns ``quat_flip(poses)`` — the SAME flipped noisy rows — as
+``man_poses``; under flip the manifold branch never sees the AMASS file at
+all. ``flip_mode="reference"`` (default, per the repo's quirk convention —
+flip_* pretrained checkpoints bake this in) reproduces that;
+``flip_mode="corrected"`` flips both branches properly.
 
 TPU-native design: instead of 30 DataLoader worker processes feeding a
 per-batch H2D copy, a small thread pool pre-assembles whole flat batches of
@@ -56,6 +63,9 @@ class TrainingBatcher:
       batch_size: files per step (reference: 4).
       num_pts: rows per file per step (reference: 5000).
       flip: canonicalize quaternions to w >= 0.
+      flip_mode: under flip, 'reference' feeds the flipped NOISY rows as
+        man_poses (the upstream bug, load_data.py:63); 'corrected' flips
+        the real manifold draws.
       seed: RNG seed; per-epoch reseeding is derived from it.
       file_glob: pattern under data_dir (reference uses ``*/*000.npz``,
         i.e. only fully-labeled sequence shards; default here is ``*/*.npz``).
@@ -69,6 +79,7 @@ class TrainingBatcher:
         batch_size: int = 4,
         num_pts: int = 5000,
         flip: bool = False,
+        flip_mode: str = "reference",
         seed: int = 0,
         file_glob: str = "*/*.npz",
         subsets: Optional[Sequence[str]] = None,
@@ -92,6 +103,9 @@ class TrainingBatcher:
         self.batch_size = batch_size
         self.num_pts = num_pts
         self.flip = flip
+        if flip_mode not in ("reference", "corrected"):
+            raise ValueError(f"unknown flip_mode {flip_mode!r}")
+        self.flip_mode = flip_mode
         self._seed = seed
         self._rng = np.random.default_rng(seed)
         # bounded LRU over decoded files — AMASS-scale datasets (~3000 files,
@@ -115,22 +129,26 @@ class TrainingBatcher:
             self.max_native_handles = 256
             self._native_handles: "collections.OrderedDict[str, _native.NativeNpz]" = (
                 collections.OrderedDict())
+            self._native_lock = threading.Lock()
             self.backend = "native"
         else:
             self._native = None
             self.backend = "numpy"
 
     def _native_open(self, path: str):
-        h = self._native_handles.get(path)
-        if h is None:
-            h = self._native.NativeNpz(path)
-            self._native_handles[path] = h
-            while len(self._native_handles) > self.max_native_handles:
-                _, old = self._native_handles.popitem(last=False)
-                old.close()
-        else:
-            self._native_handles.move_to_end(path)
-        return h
+        # lock for dict consistency under concurrent sample_batch; evicted
+        # handles are NOT closed here — another thread may be mid-gather on
+        # one — they close via refcount/__del__ once every borrower is done
+        with self._native_lock:
+            h = self._native_handles.get(path)
+            if h is None:
+                h = self._native.NativeNpz(path)
+                self._native_handles[path] = h
+                while len(self._native_handles) > self.max_native_handles:
+                    self._native_handles.popitem(last=False)
+            else:
+                self._native_handles.move_to_end(path)
+            return h
 
     def __len__(self) -> int:
         """Steps per epoch (file-level epochs like the reference loader)."""
@@ -151,35 +169,54 @@ class TrainingBatcher:
                 self._cache.popitem(last=False)
         return data
 
-    def sample_batch(self, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+    def sample_batch(self, rng: Optional[np.random.Generator] = None,
+                     lab_idx: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
         """One flat training batch:
         pose (B*P, 21, 4) float32, dist (B*P,) float32, man_poses (B*P, 21, 4).
+
+        Consumes exactly ONE draw from ``rng`` (everything inside derives
+        from a child generator), so the (seed, epoch) batch stream is
+        invariant to the backend in use — a mid-run native->numpy fallback
+        does not desync later batches.
         """
         rng = rng or self._rng
-        lab_idx = rng.integers(0, len(self.files.labeled), self.batch_size)
-        man_idx = rng.integers(0, len(self.files.manifold), self.batch_size)
+        inner = np.random.default_rng(int(rng.integers(0, 2 ** 62)))
+        if lab_idx is None:
+            lab_idx = inner.integers(0, len(self.files.labeled), self.batch_size)
+        man_idx = inner.integers(0, len(self.files.manifold), self.batch_size)
 
         if self._native is not None:
             try:
-                return self._sample_batch_native(rng, lab_idx, man_idx)
-            except (OSError, RuntimeError):
+                return self._sample_batch_native(inner, lab_idx, man_idx)
+            except (OSError, RuntimeError) as e:
+                import warnings
+
+                warnings.warn(
+                    f"native loader failed ({type(e).__name__}: {e}); falling "
+                    "back to the numpy backend for the rest of the run",
+                    stacklevel=2)
+                with self._native_lock:
+                    self._native_handles.clear()  # release mmaps/fds
                 self._native = None  # e.g. compressed npz: fall back for good
                 self.backend = "numpy"
+                inner = np.random.default_rng(int(rng.integers(0, 2 ** 62)))
 
         poses, dists, mans = [], [], []
         for li, mi in zip(lab_idx, man_idx):
             lab = self._load(self.files.labeled[li], ("pose", "dist"))
-            rows = rng.integers(0, len(lab["pose"]), self.num_pts)
+            rows = inner.integers(0, len(lab["pose"]), self.num_pts)
             p = lab["pose"][rows]
             d = lab["dist"][rows]
             if d.ndim > 1:
                 d = d.mean(axis=1)  # mean of k nearest (load_data.py:53)
             man = self._load(self.files.manifold[mi], ("pose",))
-            mrows = rng.integers(0, len(man["pose"]), self.num_pts)
+            mrows = inner.integers(0, len(man["pose"]), self.num_pts)
             m = man["pose"][mrows]
             if self.flip:
                 p = _flip_np(p)
-                m = _flip_np(m)
+                # reference quirk (load_data.py:63): man_poses = the flipped
+                # NOISY rows, not the manifold draws
+                m = p if self.flip_mode == "reference" else _flip_np(m)
             poses.append(p)
             dists.append(d)
             mans.append(m)
@@ -202,18 +239,31 @@ class TrainingBatcher:
                                     threads=self.native_threads,
                                     poses_out=pose[b * P:(b + 1) * P].reshape(P, 84),
                                     dist_out=dist[b * P:(b + 1) * P])
-            hm = self._native_open(self.files.manifold[mi])
-            man[b * P:(b + 1) * P] = hm.sample_rows(
-                "pose", P, seed ^ 0xDEADBEEF, flip=self.flip,
-                threads=self.native_threads).reshape(P, 21, 4)
+            if self.flip and self.flip_mode == "reference":
+                # reference quirk (load_data.py:63): man_poses = the flipped
+                # noisy rows themselves
+                man[b * P:(b + 1) * P] = pose[b * P:(b + 1) * P]
+            else:
+                hm = self._native_open(self.files.manifold[mi])
+                man[b * P:(b + 1) * P] = hm.sample_rows(
+                    "pose", P, seed ^ 0xDEADBEEF, flip=self.flip,
+                    threads=self.native_threads).reshape(P, 21, 4)
         return {"pose": pose, "dist": dist, "man_poses": man}
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         """Deterministic per-epoch stream of len(self) batches (reproducible
-        across process restarts: keyed on (seed, epoch) only)."""
+        across process restarts: keyed on (seed, epoch) only).
+
+        Labeled files are visited via a seeded PERMUTATION, every file
+        exactly once per epoch with the last partial batch dropped — the
+        reference's ``DataLoader(shuffle=True, drop_last=True)`` coverage
+        guarantee (``load_data.py:76-85``); with-replacement draws would
+        leave ~1/e of the files unseen each epoch."""
         rng = np.random.default_rng(np.random.SeedSequence([self._seed, epoch_idx]))
-        for _ in range(len(self)):
-            yield self.sample_batch(rng)
+        perm = rng.permutation(len(self.files.labeled))
+        for step in range(len(self)):
+            lab_idx = perm[step * self.batch_size:(step + 1) * self.batch_size]
+            yield self.sample_batch(rng, lab_idx=lab_idx)
 
 
 def prefetch_to_device(iterator, sharding=None, depth: int = 2):

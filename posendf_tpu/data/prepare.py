@@ -237,9 +237,11 @@ def sample_noisy_queries(
 # --------------------------------------------------------------------------
 
 def _fk_joint_embedding(quats: np.ndarray, body_model, batch: int = 8192) -> np.ndarray:
-    """(N, 21, 4) -> (N, 72) posed joint positions via SMPL forward
-    kinematics — the joint-space search embedding (the reference builds its
-    primary faiss index over SMPL joints, ``prepare_traindata.py:50-58``)."""
+    """(N, 21, 4) -> (N, 75) posed joint positions via SMPL forward
+    kinematics — the joint-space search embedding. The reference builds its
+    faiss index over ``joints[:, :25]`` (``prepare_traindata.py:42,147``:
+    24 skeleton joints + the nose landmark); for synthetic test meshes with
+    no landmark vertices Jtr is (N, 24, 3) and the embedding is 72-D."""
     import jax.numpy as jnp
 
     from posendf_tpu.quat import quaternion_to_axis_angle
@@ -248,7 +250,8 @@ def _fk_joint_embedding(quats: np.ndarray, body_model, batch: int = 8192) -> np.
     for s in range(0, len(quats), batch):
         aa = quaternion_to_axis_angle(jnp.asarray(quats[s:s + batch]))
         out = body_model(pose_body=aa.reshape(len(aa), 63))
-        outs.append(np.asarray(out.Jtr).reshape(len(aa), -1).astype(np.float32))
+        j = np.asarray(out.Jtr)[:, :25]  # prepare_traindata.py:147
+        outs.append(j.reshape(len(aa), -1).astype(np.float32))
     return np.concatenate(outs)
 
 def label_sequence(

@@ -31,7 +31,7 @@ import numpy as np
 from posendf_tpu.experiments.optim import AnnealSpec, make_annealed_solver
 from posendf_tpu.quat import axis_angle_to_quaternion
 from posendf_tpu.smpl import BodyModel
-from posendf_tpu.smpl.lbs import lbs_forward
+from posendf_tpu.smpl.lbs import lbs_forward, with_landmarks
 
 __all__ = ["MotionDenoiser", "v2v_cm", "run_cli"]
 
@@ -73,6 +73,10 @@ class MotionDenoiser:
                 verts, joints = lbs_forward(
                     aux["smpl"], aux["betas"],
                     jnp.zeros((B, 3), pose_body.dtype), pose_body)
+                # full smplx Jtr (45 joints on real meshes) — matches the
+                # init_joints captured from BodyModel and the reference data
+                # term (motion_denoise.py:93 uses the complete Jtr)
+                joints = with_landmarks(verts, joints)
                 if B > 1:
                     temp = jnp.mean(jnp.sqrt(jnp.sum(
                         (verts[:-1] - verts[1:]) ** 2, axis=-1) + 1e-12))

@@ -40,13 +40,13 @@ from posendf_tpu.experiments.camera import init_camera, project_points
 from posendf_tpu.experiments.optim import AnnealSpec, make_annealed_solver
 from posendf_tpu.quat import axis_angle_to_quaternion
 from posendf_tpu.smpl import BodyModel
-from posendf_tpu.smpl.lbs import lbs_forward
+from posendf_tpu.smpl.lbs import SMPL_VERTEX_LANDMARKS, lbs_forward, with_landmarks
 
-__all__ = ["ImageFitter", "SMPL_TO_OPENPOSE", "run_cli"]
+__all__ = ["ImageFitter", "SMPL_TO_OPENPOSE", "SMPLX45_TO_OPENPOSE", "run_cli"]
 
 # OpenPose BODY_25 index -> SMPL joint index (-1 = no SMPL correspondence:
 # eyes/ears/feet tips live on mesh vertices, out of scope for the 24-joint
-# skeleton the fit optimizes).
+# skeleton of synthetic test meshes).
 SMPL_TO_OPENPOSE = np.array([
     15,  # 0  nose ~ head
     12,  # 1  neck
@@ -65,6 +65,25 @@ SMPL_TO_OPENPOSE = np.array([
     7,   # 14 LAnkle
     -1, -1, -1, -1,  # 15-18 eyes/ears
     -1, -1, -1, -1, -1, -1,  # 19-24 feet
+])
+
+# 45-joint (smplx Jtr with vertex landmarks, lbs.SMPL_VERTEX_LANDMARKS order:
+# 24 nose, 25-28 R/L eye, R/L ear, 29-34 L/R BigToe SmallToe Heel) ->
+# BODY_25.  On real SMPL meshes every BODY_25 keypoint has a correspondence,
+# so the fit also constrains head orientation and foot contact — the signal
+# the reference's ``camera(body_model_output.joints)`` projection carries
+# (``image_fitting.py:68,86`` projects the full smplx joint set).
+SMPLX45_TO_OPENPOSE = np.array([
+    24,  # 0  nose (landmark, not the head joint)
+    12,  # 1  neck
+    17, 19, 21,        # 2-4   R shoulder/elbow/wrist
+    16, 18, 20,        # 5-7   L shoulder/elbow/wrist
+    0,                 # 8     MidHip
+    2, 5, 8,           # 9-11  R hip/knee/ankle
+    1, 4, 7,           # 12-14 L hip/knee/ankle
+    25, 26, 27, 28,    # 15-18 REye LEye REar LEar
+    29, 30, 31,        # 19-21 LBigToe LSmallToe LHeel
+    32, 33, 34,        # 22-24 RBigToe RSmallToe RHeel
 ])
 
 TORSO_OPENPOSE_IDXS = (9, 12, 2, 5)  # reference init_joints_idxs (:30)
@@ -96,9 +115,13 @@ class ImageFitter:
         self._solvers = {}
 
     def _mapped_joints(self, joints: jax.Array) -> jax.Array:
-        """(B, 24, 3) SMPL joints -> (B, 25, 3) OpenPose-ordered (invalid
-        slots filled with joint 0; masked by weights)."""
-        gather = np.where(SMPL_TO_OPENPOSE >= 0, SMPL_TO_OPENPOSE, 0)
+        """(B, 24|45, 3) joints -> (B, 25, 3) OpenPose-ordered. With the
+        45-joint landmark set every BODY_25 slot is real; on 24-joint
+        synthetic meshes eye/ear/feet slots fall back to joint 0 and are
+        masked by the validity weights."""
+        table = (SMPLX45_TO_OPENPOSE if joints.shape[1] >= 45
+                 else SMPL_TO_OPENPOSE)
+        gather = np.where(table >= 0, table, 0)
         return joints[:, gather, :]
 
     def _get_solvers(self, B: int, iterations: int, steps_per_iter: int):
@@ -114,7 +137,8 @@ class ImageFitter:
         torso = np.asarray(TORSO_OPENPOSE_IDXS)
 
         def fk(betas, orient, pose):
-            return lbs_forward(smpl_model, betas, orient, pose)
+            verts, joints = lbs_forward(smpl_model, betas, orient, pose)
+            return verts, with_landmarks(verts, joints)
 
         opt_rot = self.optimize_camera_rotation
 
@@ -174,7 +198,12 @@ class ImageFitter:
         B = kp.shape[0]
         gt_xy = kp[..., :2]
         conf = kp[..., 2]
-        valid = jnp.asarray(SMPL_TO_OPENPOSE >= 0, jnp.float32)[None]
+        # real SMPL meshes carry the 45-joint landmark set -> every BODY_25
+        # keypoint maps; synthetic 24-joint test meshes mask eyes/ears/feet
+        n_verts = self.body_model.model.v_template.shape[0]
+        has_landmarks = n_verts > int(SMPL_VERTEX_LANDMARKS.max())
+        table = SMPLX45_TO_OPENPOSE if has_landmarks else SMPL_TO_OPENPOSE
+        valid = jnp.asarray(table >= 0, jnp.float32)[None]
         conf = conf * valid
         center_arr = (jnp.tile(jnp.asarray(center, jnp.float32)[None], (B, 1))
                       if center is not None else jnp.zeros((B, 2)))
@@ -183,7 +212,8 @@ class ImageFitter:
         solve1, solve2, solve3 = self._get_solvers(B, iterations, steps_per_iter)
 
         def fk(betas, orient, pose):
-            return lbs_forward(self.body_model.model, betas, orient, pose)
+            verts, joints = lbs_forward(self.body_model.model, betas, orient, pose)
+            return verts, with_landmarks(verts, joints)
 
         # ---- stage 1: camera rotation + translation + global orient on
         # torso joints

@@ -20,16 +20,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from posendf_tpu.smpl.lbs import SMPLModel, lbs_forward, load_smpl_model, synthetic_model
+from posendf_tpu.smpl.lbs import (
+    SMPL_VERTEX_LANDMARKS,
+    SMPLModel,
+    lbs_forward,
+    load_smpl_model,
+    synthetic_model,
+    with_landmarks,
+)
 
-__all__ = ["BodyModel", "BodyModelOutput"]
+__all__ = ["BodyModel", "BodyModelOutput", "SMPL_VERTEX_LANDMARKS"]
 
 
 @dataclasses.dataclass
 class BodyModelOutput:
     vertices: jax.Array    # (B, V, 3)
     faces: np.ndarray      # (F, 3)
-    Jtr: jax.Array         # (B, 24, 3)
+    Jtr: jax.Array         # (B, 45, 3) for real SMPL meshes (24 skeleton
+                           # joints + 21 vertex landmarks, smplx order);
+                           # (B, 24, 3) for synthetic/small test meshes
     betas: jax.Array
     body_pose: jax.Array   # (B, 69)
     full_pose: jax.Array   # (B, 72)
@@ -73,6 +82,7 @@ class BodyModel:
         if betas is None:
             betas = jnp.zeros((B, self.num_betas), pose_body.dtype)
         vertices, joints = lbs_forward(self.model, betas, root_orient, pose_body)
+        joints = with_landmarks(vertices, joints)
         full_pose = jnp.concatenate([root_orient.reshape(B, 3), pose_body], axis=1)
         return BodyModelOutput(
             vertices=vertices,

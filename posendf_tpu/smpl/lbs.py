@@ -33,7 +33,7 @@ import numpy as np
 from posendf_tpu.kinematics import SMPL_FULL_PARENTS, level_schedule
 from posendf_tpu.quat import axis_angle_to_matrix
 
-__all__ = ["SMPLModel", "load_smpl_model", "synthetic_model", "lbs_forward"]
+__all__ = ["SMPL_VERTEX_LANDMARKS", "with_landmarks", "SMPLModel", "load_smpl_model", "synthetic_model", "lbs_forward"]
 
 NUM_JOINTS = 24
 
@@ -181,6 +181,31 @@ def synthetic_model(num_vertices: int = 128, num_betas: int = 10, seed: int = 0)
     )
 
 
+# smplx's VertexJointSelector appends 21 vertex-picked landmarks after the
+# 24 skeleton joints (smplx/vertex_joint_selector.py, vertex_ids['smplh'];
+# order: 5 face, 6 feet, 10 finger tips). The reference experiments consume
+# the FULL 45-joint Jtr (denoise data term motion_denoise.py:93; the kNN
+# joint index reads Jtr[:, :25], prepare_traindata.py:147). Ids are for the
+# standard 6890-vertex SMPL mesh.
+SMPL_VERTEX_LANDMARKS = np.array([
+    332, 6260, 2800, 4071, 583,                    # nose reye leye rear lear
+    3216, 3226, 3387, 6617, 6624, 6787,            # L/R BigToe SmallToe Heel
+    2746, 2319, 2445, 2556, 2673,                  # left  thumb..pinky tips
+    6191, 5782, 5905, 6016, 6133,                  # right thumb..pinky tips
+])
+
+
+def with_landmarks(vertices: jax.Array, joints: jax.Array) -> jax.Array:
+    """(B, V, 3), (B, 24, 3) -> (B, 45, 3) smplx-ordered joints when the
+    mesh is a real SMPL body (landmark vertex ids in range); the skeleton
+    joints unchanged for synthetic/small test meshes. Shape-static under
+    jit (the branch is on the static vertex count)."""
+    if vertices.shape[1] > int(SMPL_VERTEX_LANDMARKS.max()):
+        return jnp.concatenate(
+            [joints, vertices[:, SMPL_VERTEX_LANDMARKS, :]], axis=1)
+    return joints
+
+
 @partial(jax.jit, static_argnames=())
 def lbs_forward(
     model: SMPLModel,
@@ -190,10 +215,23 @@ def lbs_forward(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (vertices (B, V, 3), joints (B, 24, 3)).
 
-    Joints are the FK-transformed joint locations (what the reference's
-    experiments read as ``Jtr[:, :24]``).
+    Joints are the 24 FK-transformed SKELETON joints (smplx appends 21
+    vertex-picked landmarks after these — ``BodyModel`` adds them for real
+    SMPL meshes; this core returns the skeleton).
+
+    ``betas`` may be per-frame (B, n_betas) or per-subject — (1, n_betas) or
+    (n_betas,) — which broadcasts over the pose batch like the reference's
+    smplx wrapper.
     """
-    B = betas.shape[0]
+    B = body_pose.reshape(body_pose.shape[0], -1).shape[0]
+    if betas.ndim == 1:
+        betas = betas[None]
+    if betas.shape[0] == 1 and B > 1:
+        betas = jnp.broadcast_to(betas, (B,) + betas.shape[1:])
+    if betas.shape[0] != B:
+        raise ValueError(
+            f"betas batch {betas.shape[0]} does not match pose batch {B} "
+            "(pass per-frame betas, or (1, n_betas)/(n_betas,) to broadcast)")
     full_pose = jnp.concatenate([global_orient.reshape(B, 1, 3),
                                  body_pose.reshape(B, 23, 3)], axis=1)  # (B,24,3)
     rot = axis_angle_to_matrix(full_pose)  # (B, 24, 3, 3)

@@ -197,6 +197,24 @@ def test_image_fitter_recovers_camera_rotation(field, body):
     assert m_free["stage1_final_data"] < 0.1  # px^2 over 4 torso joints
 
 
+def test_openpose_mapping_tables_consistent():
+    """The 45-joint landmark mapping agrees with the 24-joint one on every
+    skeleton-mapped BODY_25 slot (except the nose, which upgrades from the
+    head joint to the nose landmark) and covers all 25 slots."""
+    from posendf_tpu.experiments.fit_image import (
+        SMPL_TO_OPENPOSE, SMPLX45_TO_OPENPOSE)
+
+    assert SMPLX45_TO_OPENPOSE.shape == (25,)
+    assert (SMPLX45_TO_OPENPOSE >= 0).all()
+    assert SMPLX45_TO_OPENPOSE.max() < 45
+    for op_idx, smpl_j in enumerate(SMPL_TO_OPENPOSE):
+        if smpl_j >= 0 and op_idx != 0:
+            assert SMPLX45_TO_OPENPOSE[op_idx] == smpl_j
+    assert SMPLX45_TO_OPENPOSE[0] == 24  # nose landmark
+    # eyes/ears/feet land in the landmark block
+    assert (SMPLX45_TO_OPENPOSE[15:] >= 24).all()
+
+
 def test_mesh_export_and_render(tmp_path, body):
     out = body(pose_body=jnp.zeros((2, 69)))
     paths = save_meshes(str(tmp_path), np.asarray(out.vertices), out.faces, prefix="t")

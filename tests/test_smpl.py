@@ -118,3 +118,42 @@ def test_body_model_wrapper_api(model):
     assert out.body_pose.shape == (3, 69)
     assert out.full_pose.shape == (3, 72)
     assert out.faces.shape[1] == 3
+
+
+def test_betas_broadcast_per_subject(model):
+    """(1, n_betas) / (n_betas,) betas broadcast over the frame batch like
+    the reference's smplx wrapper; mismatched batches raise."""
+    orient, pose = jnp.zeros((4, 3)), jnp.zeros((4, 69))
+    b = jnp.linspace(-0.5, 0.5, 10)
+    v_ref, j_ref = lbs_forward(model, jnp.tile(b[None], (4, 1)), orient, pose)
+    for betas in (b, b[None]):
+        v, j = lbs_forward(model, betas, orient, pose)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref), atol=1e-6)
+    with pytest.raises(ValueError, match="betas batch"):
+        lbs_forward(model, jnp.zeros((3, 10)), orient, pose)
+
+
+@pytest.fixture(scope="module")
+def big_model():
+    """Synthetic mesh with enough vertices that the SMPL landmark ids are in
+    range — exercises the 45-joint smplx Jtr path without licensed data."""
+    return synthetic_model(num_vertices=7000, seed=0)
+
+
+def test_vertex_landmarks_appended_for_real_meshes(big_model):
+    from posendf_tpu.smpl.lbs import SMPL_VERTEX_LANDMARKS, with_landmarks
+
+    bm = BodyModel(model=big_model)
+    out = bm(pose_body=jnp.zeros((2, 63)))
+    assert out.Jtr.shape == (2, 45, 3)
+    # landmarks ARE the picked vertices (smplx VertexJointSelector semantics)
+    np.testing.assert_allclose(
+        np.asarray(out.Jtr[:, 24:]),
+        np.asarray(out.vertices[:, SMPL_VERTEX_LANDMARKS, :]), atol=0)
+    # helper is a no-op on small meshes
+    v, j = lbs_forward(big_model, jnp.zeros((2, 10)), jnp.zeros((2, 3)),
+                       jnp.zeros((2, 69)))
+    assert with_landmarks(v, j).shape == (2, 45, 3)
+    small_v = jnp.zeros((2, 96, 3))
+    assert with_landmarks(small_v, j).shape == (2, 24, 3)

@@ -116,12 +116,53 @@ def test_batcher_shapes_and_label_semantics(dataset):
     assert batch["pose"].dtype == np.float32
 
 
-def test_batcher_flip_canonicalizes_both_branches(dataset):
+def test_batcher_flip_reference_quirk_and_corrected(dataset):
+    """flip=True default reproduces the reference bug (load_data.py:63):
+    man_poses are the SAME flipped noisy rows, the AMASS file is never
+    touched; flip_mode='corrected' flips the real manifold draws."""
     labeled, amass = dataset
     b = TrainingBatcher(labeled, amass, batch_size=2, num_pts=64, flip=True, seed=0)
     batch = b.sample_batch()
     assert (batch["pose"][..., 0] >= 0).all()
     assert (batch["man_poses"][..., 0] >= 0).all()
+    np.testing.assert_array_equal(batch["man_poses"], batch["pose"])
+
+    bc = TrainingBatcher(labeled, amass, batch_size=2, num_pts=64, flip=True,
+                         flip_mode="corrected", seed=0)
+    bc2 = bc.sample_batch()
+    assert (bc2["man_poses"][..., 0] >= 0).all()
+    assert not np.array_equal(bc2["man_poses"], bc2["pose"])
+
+
+def test_epoch_visits_every_labeled_file_once(dataset):
+    """epoch() is a seeded permutation over labeled files (the reference's
+    DataLoader shuffle + drop_last coverage guarantee), reproducible from
+    (seed, epoch), different across epochs."""
+    labeled, amass = dataset
+    b = TrainingBatcher(labeled, amass, batch_size=2, num_pts=8, seed=3)
+    n_files = len(b.files.labeled)
+
+    seen = []
+    orig = b.sample_batch
+
+    def spy(rng=None, lab_idx=None):
+        seen.append(np.array(lab_idx))
+        return orig(rng, lab_idx=lab_idx)
+
+    b.sample_batch = spy
+    list(b.epoch(0))
+    visited = np.concatenate(seen)
+    used = (n_files // b.batch_size) * b.batch_size  # drop_last
+    assert len(visited) == used
+    assert len(np.unique(visited)) == used  # each file at most once
+
+    seen2 = []
+    def spy2(rng=None, lab_idx=None):
+        seen2.append(np.array(lab_idx))
+        return orig(rng, lab_idx=lab_idx)
+    b.sample_batch = spy2
+    list(b.epoch(0))
+    np.testing.assert_array_equal(np.concatenate(seen2), visited)  # keyed on (seed, epoch)
 
 
 def test_orbax_checkpoint_backend(dataset, tmp_path):
