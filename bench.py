@@ -304,6 +304,23 @@ def main():
     except Exception:
         knn_qps = None
 
+    # same search through the fused Pallas kernel (distance + top-k merge in
+    # one VMEM-resident pass, ops/fused_knn.py) — the default labeling path
+    # on TPU
+    knn_fused_qps = None
+    try:
+        from posendf_tpu.ops.fused_knn import fused_geodesic_topk
+
+        def knn_fused_once():
+            d, idx = fused_geodesic_topk(queries, corpus, 5)
+            return float(jnp.sum(d) + idx[0, 0])
+
+        knn_fused_once()
+        knn_fused_s = timed(knn_fused_once)
+        knn_fused_qps = queries.shape[0] / knn_fused_s
+    except Exception:
+        knn_fused_qps = None
+
     # ---------- mesh-sharded labeling (the Slurm-fan-out replacement) ------
     # label_sequence(mesh=) end to end: noisy-query sampling + sharded
     # geodesic top-5 + host readback, on a data mesh over all local devices
@@ -387,6 +404,8 @@ def main():
                 round(proj_big_s, 4) if proj_big_s else None,
             "knn_geodesic_top5_262k_corpus_qps":
                 round(knn_qps, 1) if knn_qps else None,
+            "knn_fused_qps":
+                round(knn_fused_qps, 1) if knn_fused_qps else None,
             "knn_sharded_qps":
                 round(knn_sharded_qps, 1) if knn_sharded_qps else None,
             "denoise_500step_60frame_s":

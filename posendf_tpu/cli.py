@@ -305,6 +305,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default) is exact like faiss fp32; 'default' is "
                         "single-pass bf16, ~2x faster with ~1e-3 distance "
                         "noise that can swap near-tie neighbors")
+    p.add_argument("--fused-knn", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="single-kernel Pallas kNN search (auto: on-TPU exact "
+                        "geodesic searches only; see ops/fused_knn.py)")
     p.add_argument("--per-pose-noise", action="store_true",
                    help="corrected noise sampling: an independent noise draw "
                         "per query pose. Default reproduces the reference "

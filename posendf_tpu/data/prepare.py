@@ -274,6 +274,7 @@ def label_sequence(
     precision: str = "highest",
     per_pose_noise: bool = False,
     runs: int = 1,
+    fused: Optional[bool] = None,
 ) -> dict:
     """Label one sequence: noisy queries + their k nearest distances against
     the corpus. ``metric``: 'geo' (quaternion geodesic, reference default) or
@@ -285,9 +286,10 @@ def label_sequence(
     ``space``: the candidate-search embedding. 'quat' searches raw 84-D
     quaternions (reference ``faiss_idx_torch``, ``prepare_traindata.py:86-93``);
     'joints' runs SMPL forward kinematics and searches posed joint positions
-    (reference ``faiss_idx_np``'s 75-D joint index, ``:50-58`` — here 72-D,
-    24 FK joints, since the 25th smplx vertex-joint is cosmetic), followed by
-    the exact metric re-rank either way. Requires ``body_model``; uses the
+    (reference ``faiss_idx_np``'s 75-D ``joints[:, :25]`` index, ``:50-58``
+    — 75-D here too on real SMPL meshes, 24 skeleton joints + the nose
+    landmark; 72-D on synthetic test meshes with no landmark vertices),
+    followed by the exact metric re-rank either way. Requires ``body_model``; uses the
     reference's 500-wide candidate set when ``k_candidates`` is 0.
 
     ``corpus_emb`` / ``corpus_np``: corpus-wide invariants a caller labeling
@@ -297,7 +299,13 @@ def label_sequence(
     ``precision``: matmul precision of the distance searches. 'highest'
     (default) is exact — matches faiss fp32 neighbor-for-neighbor on TPU;
     'default' uses single-pass bf16 MXU (~2x faster) with ~1e-3 distance
-    noise that can swap near-tie neighbors."""
+    noise that can swap near-tie neighbors.
+
+    ``fused``: None (auto) takes the single-kernel Pallas search
+    (``ops/fused_knn.py``, ~1.4x the XLA scan) whenever it applies — exact
+    single-stage geodesic, k <= 8, 'highest' precision, single device, on a
+    TPU backend. True forces it (errors off-TPU or with ``mesh``); False
+    forces the XLA scan."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
@@ -326,9 +334,25 @@ def label_sequence(
         query_sharding = NamedSharding(mesh, P("data"))
         n_dev = mesh.devices.size
         query_batch = max(query_batch, n_dev) // n_dev * n_dev
-    w = None
+    w = w_np = None
     if weighted:
         w = jnp.asarray(SMPL_JOINT_RANK) / jnp.linalg.norm(jnp.asarray(SMPL_JOINT_RANK))
+        w_np = np.asarray(w)
+
+    fused_eligible = (metric == "geo" and corpus_emb is None
+                      and not k_candidates and k <= 8
+                      and precision == "highest" and mesh is None)
+    if fused is None:
+        import jax
+
+        use_fused = fused_eligible and jax.default_backend() == "tpu"
+    elif fused and not fused_eligible:
+        raise ValueError(
+            "fused=True requires the exact single-stage geodesic search "
+            "(metric='geo', no candidates/embedding, k<=8, "
+            "precision='highest') on a single device (mesh=None)")
+    else:
+        use_fused = fused
 
     dists, idxs = [], []
     for start in range(0, len(queries), query_batch):
@@ -354,6 +378,13 @@ def label_sequence(
             # exact single-stage per-joint-L2 top-k (streamed, no candidates)
             d, i = euclidean_topk(q, corpus, k=k, weights=w,
                                   precision=precision)
+        elif use_fused:
+            # exact geodesic search with the top-k merge fused into the
+            # distance kernel (ops/fused_knn.py) — ~1.4x the XLA scan on
+            # v5e; bit-identical neighbor sets (fp32 VPU math both paths)
+            from posendf_tpu.ops.fused_knn import fused_geodesic_topk
+
+            d, i = fused_geodesic_topk(q, corpus, k, weights=w_np)
         else:
             # exact single-stage geodesic top-k (weighted or not)
             d, i = geodesic_topk(q, corpus, k=k, weights=w,
@@ -384,6 +415,7 @@ def label_split(
     shard: Optional[Tuple[int, int]] = None,
     precision: str = "highest",
     per_pose_noise: bool = False,
+    fused: Optional[bool] = None,
 ) -> List[str]:
     """Label every sequence of a split against the split-wide corpus.
 
@@ -426,7 +458,7 @@ def label_split(
             metric=metric, weighted=weighted, rng=rng,
             space=space, body_model=body_model,
             corpus_emb=corpus_emb, corpus_np=corpus, precision=precision,
-            per_pose_noise=per_pose_noise, runs=runs,
+            per_pose_noise=per_pose_noise, runs=runs, fused=fused,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
@@ -465,5 +497,7 @@ def run_cli(args) -> None:
                                          getattr(args, "space", "quat")),
             precision=getattr(args, "knn_precision", "highest"),
             per_pose_noise=getattr(args, "per_pose_noise", False),
+            fused={"auto": None, "on": True, "off": False}[
+                getattr(args, "fused_knn", "auto")],
         )
         print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: exact geodesic kNN with the top-k merge fused in.
+
+Why this kernel exists (measured on v5e, Q=4096 x N=262k, k=5, fp32 exact):
+the XLA path (``ops/knn.py::geodesic_topk``) spends ~97 ms computing
+distances and ~93 ms in the per-tile ``lax.top_k`` merge — XLA cannot fuse
+top_k into its producer, so every (Q, T) distance tile is written to HBM
+and re-read by the sort. This kernel keeps the distance tile in VMEM and
+maintains the running top-k in a (TILE_Q, 8) scratch, so the merge costs a
+few extra VPU passes instead of half the runtime.
+
+Semantics match ``geodesic_topk`` (the reference metric
+``data/dist_utils.py:39-48``): d(q, c) = mean_j (1 - |<q_j, c_j>|), or the
+joint-weighted sum; exact fp32 (VPU broadcast-FMA dots — no bf16 MXU
+passes), ascending top-k with lowest-index-first tie handling within a
+tile. Cross-tile exact ties may order differently from ``lax.top_k`` (both
+orders are valid top-k sets).
+
+Layout notes (Mosaic): queries ride the SUBLANES of the (TILE_Q, TILE_T)
+distance tile and the corpus tile rides the LANES, so the corpus operand is
+passed pre-transposed as (84, N) — per-(joint, dim) rows are cheap sublane
+slices broadcast down, while per-(joint, dim) query columns are lane slices
+broadcast across. The running-best merge works on (TILE_Q, 8) arrays whose
+ops are tiny next to the 21x6 FMA passes of the distance computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_geodesic_topk"]
+
+_KPAD = 8          # running-best width (lanes); k <= _KPAD
+_BIG = 3.0e38
+_IBIG = 2**31 - 1
+
+
+def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
+                num_joints, k, tile_t, n_corpus, weights):
+    """One (query-tile, corpus-tile) grid step.
+
+    q_ref: (TILE_Q, 4J) queries; c_ref: (4J, TILE_T) corpus slab;
+    bestd/besti: (TILE_Q, _KPAD) running top-k scratch, persistent across
+    the corpus (minor) grid axis.
+    """
+    j = pl.program_id(1)
+    n_ctiles = pl.num_programs(1)
+    tq = q_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        bestd[:] = jnp.full((tq, _KPAD), _BIG, jnp.float32)
+        besti[:] = jnp.full((tq, _KPAD), -1, jnp.int32)
+
+    # ---- distance tile: mean_j (1 - |sum_d q_jd * c_jd|), all in VMEM
+    geo = None
+    for joint in range(num_joints):
+        acc = None
+        for d in range(4):
+            r = joint * 4 + d
+            term = q_ref[:, r:r + 1] * c_ref[r:r + 1, :]   # (TQ,1)x(1,TT)
+            acc = term if acc is None else acc + term
+        pj = 1.0 - jnp.abs(acc)
+        w = 1.0 / num_joints if weights is None else float(weights[joint])
+        geo = w * pj if geo is None else geo + w * pj      # (TQ, TT)
+
+    col = j * tile_t + jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
+    # mask padded corpus rows (only the last slab has any, but the where is
+    # one cheap pass and keeps the kernel branch-free)
+    geo = jnp.where(col < n_corpus, geo, _BIG)
+
+    # ---- extract this tile's k smallest and fold into the running best
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (tq, _KPAD), 1)
+    for _ in range(k):
+        m = jnp.min(geo, axis=1, keepdims=True)                       # (TQ,1)
+        idx = jnp.min(jnp.where(geo == m, col, _IBIG), axis=1,
+                      keepdims=True)                                  # (TQ,1)
+        geo = jnp.where(col == idx, _BIG, geo)
+        bd = bestd[:]
+        bmax = jnp.max(bd, axis=1, keepdims=True)
+        bpos = jnp.min(jnp.where(bd == bmax, lane8, _KPAD), axis=1,
+                       keepdims=True)
+        sel = (lane8 == bpos) & (m < bmax)
+        bestd[:] = jnp.where(sel, m, bd)
+        besti[:] = jnp.where(sel, idx, besti[:])
+
+    # ---- after the last corpus slab: emit the best ascending
+    @pl.when(j == n_ctiles - 1)
+    def _():
+        bd = bestd[:]
+        bi = besti[:]
+        for i in range(k):
+            m = jnp.min(bd, axis=1, keepdims=True)
+            pos = jnp.min(jnp.where(bd == m, lane8, _KPAD), axis=1,
+                          keepdims=True)
+            dout_ref[:, i:i + 1] = m
+            iout_ref[:, i:i + 1] = jnp.min(
+                jnp.where(lane8 == pos, bi, _IBIG), axis=1, keepdims=True)
+            bd = jnp.where(lane8 == pos, _BIG, bd)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_t",
+                                             "weights", "interpret",
+                                             "n_corpus"))
+def _fused_topk(queries_flat, corpus_t, k, tile_q, tile_t, weights,
+                interpret, n_corpus):
+    Qp = queries_flat.shape[0]
+    JD = queries_flat.shape[1]
+    Np = corpus_t.shape[1]
+    grid = (Qp // tile_q, Np // tile_t)
+    kernel = functools.partial(
+        _knn_kernel, num_joints=JD // 4, k=k, tile_t=tile_t,
+        n_corpus=n_corpus, weights=weights)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, JD), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((JD, tile_t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, _KPAD), jnp.float32),
+            pltpu.VMEM((tile_q, _KPAD), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(queries_flat, corpus_t)
+
+
+def fused_geodesic_topk(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    k: int,
+    *,
+    weights: Optional[np.ndarray] = None,  # (J,) host-side joint weights
+    tile_q: int = 256,
+    tile_t: int = 8192,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact geodesic top-k, single fused kernel. Returns (dists (Q, k),
+    indices (Q, k)), ascending — same contract as ``knn.geodesic_topk``.
+
+    ``weights`` must be a CONCRETE (host) array for the fused path — it is
+    baked into the kernel as constants (21 floats). k <= 8.
+    """
+    if k > _KPAD:
+        raise ValueError(f"fused path supports k <= {_KPAD}, got {k}")
+    Q, J, four = query_quats.shape
+    N = corpus_quats.shape[0]
+    if N < k:
+        raise ValueError(f"top-k needs a corpus of at least k={k} rows, got {N}")
+    if weights is not None:
+        weights = tuple(float(w) for w in np.asarray(weights).reshape(-1))
+        if len(weights) != J:
+            raise ValueError(f"weights must have {J} entries")
+
+    # clamp tiles to the (padded) problem, keeping lane/sublane alignment
+    tile_q = max(8, min(tile_q, -(-Q // 8) * 8))
+    tile_t = max(128, min(tile_t, -(-N // 128) * 128))
+
+    qf = query_quats.reshape(Q, J * four).astype(jnp.float32)
+    pad_q = (-Q) % tile_q
+    if pad_q:
+        qf = jnp.concatenate(
+            [qf, jnp.zeros((pad_q, J * four), jnp.float32)], axis=0)
+    ct = corpus_quats.reshape(N, J * four).astype(jnp.float32).T  # (4J, N)
+    pad_n = (-N) % tile_t
+    if pad_n:
+        ct = jnp.concatenate(
+            [ct, jnp.zeros((J * four, pad_n), jnp.float32)], axis=1)
+
+    dists, idx = _fused_topk(qf, ct, k, tile_q, tile_t, weights,
+                             interpret, N)
+    return dists[:Q], idx[:Q]
