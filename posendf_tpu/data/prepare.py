@@ -302,7 +302,7 @@ def label_sequence(
     noise that can swap near-tie neighbors.
 
     ``fused``: None (auto) takes the single-kernel Pallas search
-    (``ops/fused_knn.py``, ~1.4x the XLA scan) whenever it applies — exact
+    (``ops/fused_knn.py``, ~1.7x the XLA scan) whenever it applies — exact
     single-stage geodesic, k <= 8, 'highest' precision, single device, on a
     TPU backend. True forces it (errors off-TPU or with ``mesh``); False
     forces the XLA scan."""
@@ -380,7 +380,7 @@ def label_sequence(
                                   precision=precision)
         elif use_fused:
             # exact geodesic search with the top-k merge fused into the
-            # distance kernel (ops/fused_knn.py) — ~1.4x the XLA scan on
+            # distance kernel (ops/fused_knn.py) — ~1.7x the XLA scan on
             # v5e; bit-identical neighbor sets (fp32 VPU math both paths)
             from posendf_tpu.ops.fused_knn import fused_geodesic_topk
 

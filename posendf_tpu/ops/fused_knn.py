@@ -6,7 +6,12 @@ distances and ~93 ms in the per-tile ``lax.top_k`` merge — XLA cannot fuse
 top_k into its producer, so every (Q, T) distance tile is written to HBM
 and re-read by the sort. This kernel keeps the distance tile in VMEM and
 maintains the running top-k in a (TILE_Q, 8) scratch, so the merge costs a
-few extra VPU passes instead of half the runtime.
+few extra VPU passes instead of half the runtime. Best measured: 113 ms vs
+191 ms XLA (36.2k qps, 1.68x) at the default 256 x 2048 tile — the v5e
+sweep (tile_t in {1024..16384}, tile_q in {128..1024}) has a clear bowl
+around 2048-wide corpus slabs: wider slabs buy nothing (the corpus streams
+through VMEM either way) and push the merge bookkeeping out of cheap
+registers; narrower ones pay per-tile overhead every 1024 rows.
 
 Semantics match ``geodesic_topk`` (the reference metric
 ``data/dist_utils.py:39-48``): d(q, c) = mean_j (1 - |<q_j, c_j>|), or the
@@ -153,7 +158,7 @@ def fused_geodesic_topk(
     *,
     weights: Optional[np.ndarray] = None,  # (J,) host-side joint weights
     tile_q: int = 256,
-    tile_t: int = 8192,
+    tile_t: int = 2048,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact geodesic top-k, single fused kernel. Returns (dists (Q, k),
