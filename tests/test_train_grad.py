@@ -1,0 +1,102 @@
+"""Hand-derived train-step gradients (ops/train_grad.py) vs jax.grad.
+
+The manual implementation writes the full double backprop (dist + manifold
++ eikonal grad-of-grad) as explicit matmul chains; these tests pin every
+term and every parameter gradient against jax.value_and_grad of
+losses.training_loss. This is the oracle chain for the fused train-step
+kernel: kernel == manual (interpret mode) == autodiff (here).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posendf_tpu.kinematics import REFERENCE_PARENTS
+from posendf_tpu.losses import training_loss
+from posendf_tpu.models import PoseNDF
+from posendf_tpu.ops.train_grad import manual_train_grads
+
+
+def _setup(rng, activation, B=24, M=16, dims=(32, 48, 16)):
+    module = PoseNDF(activation=activation, dfnet_dims=dims)
+    q = rng.normal(size=(B, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    man = rng.normal(size=(M, 21, 4)).astype(np.float32)
+    man /= np.linalg.norm(man, axis=-1, keepdims=True)
+    gt = np.abs(rng.normal(size=(B,))).astype(np.float32)
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    return module, params, jnp.asarray(q), jnp.asarray(gt), jnp.asarray(man)
+
+
+@pytest.mark.parametrize("activation", ["lrelu", "relu", "softplus"])
+@pytest.mark.parametrize("loss_type", ["l1", "l2"])
+def test_manual_matches_autodiff(rng, activation, loss_type):
+    module, params, pose, gt, man = _setup(rng, activation)
+    w = dict(weight_dist=1.0, weight_man=1.0, weight_eikonal=1.0)
+
+    def ref_loss(p):
+        return training_loss(module, p, pose, gt, man,
+                             loss_type=loss_type, **w)
+
+    (ref_total, ref_terms), ref_grads = \
+        jax.value_and_grad(ref_loss, has_aux=True)(params)
+    total, terms, grads = manual_train_grads(
+        params, pose, gt, man, parents=REFERENCE_PARENTS,
+        activation=activation, loss_type=loss_type, **w)
+
+    np.testing.assert_allclose(total, ref_total, rtol=1e-5)
+    for k in ref_terms:
+        np.testing.assert_allclose(terms[k], ref_terms[k], rtol=1e-5,
+                                   err_msg=k)
+    flat_ref = jax.tree.leaves_with_path(ref_grads)
+    flat = dict(jax.tree.leaves_with_path(grads))
+    # grads pytree uses {"enc": ..., "dfnet": ...} like flax params
+    for path, leaf in flat_ref:
+        got = dict(flat)[path]
+        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=2e-5 * scale,
+            err_msg=str(path))
+
+
+def test_manual_weighted_terms(rng):
+    """Loss weights scale each path independently (incl. the eikonal
+    double-backprop path)."""
+    module, params, pose, gt, man = _setup(rng, "lrelu")
+    w = dict(weight_dist=0.25, weight_man=2.0, weight_eikonal=3.5)
+
+    def ref_loss(p):
+        return training_loss(module, p, pose, gt, man, loss_type="l1", **w)
+
+    (_, _), ref_grads = jax.value_and_grad(ref_loss, has_aux=True)(params)
+    _, _, grads = manual_train_grads(
+        params, pose, gt, man, parents=REFERENCE_PARENTS,
+        activation="lrelu", loss_type="l1", **w)
+    for path, leaf in jax.tree.leaves_with_path(ref_grads):
+        got = dict(jax.tree.leaves_with_path(grads))[path]
+        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=2e-5 * scale,
+            err_msg=str(path))
+
+
+def test_manual_unequal_branch_sizes(rng):
+    """Noisy and manifold batches of different sizes (the batcher's
+    num_pts draws vs manifold rows differ in general)."""
+    module, params, pose, gt, man = _setup(rng, "lrelu", B=40, M=12)
+
+    def ref_loss(p):
+        return training_loss(module, p, pose, gt, man, loss_type="l1")
+
+    (ref_total, _), ref_grads = \
+        jax.value_and_grad(ref_loss, has_aux=True)(params)
+    total, _, grads = manual_train_grads(
+        params, pose, gt, man, parents=REFERENCE_PARENTS, activation="lrelu")
+    np.testing.assert_allclose(total, ref_total, rtol=1e-5)
+    for path, leaf in jax.tree.leaves_with_path(ref_grads):
+        got = dict(jax.tree.leaves_with_path(grads))[path]
+        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=2e-5 * scale,
+            err_msg=str(path))
