@@ -270,6 +270,34 @@ def main():
         train_ms = None
         train_mfu_pct = None
 
+    # ---------- fused train-gradient kernel (ops/fused_train.py) ----------
+    # same 20k-batch step with loss + dL/dparams computed in two Pallas
+    # programs (double backprop VMEM-resident) instead of autodiff
+    train_fused_ms = None
+    if fused_ok and train_ms is not None:
+        try:
+            tstep_f = make_train_step(module, opt, loss_type="l1",
+                                      weights={"dist": 1.0, "man_loss": 1.0,
+                                               "eikonal": 1.0}, fused=True)
+
+            @partial(jax.jit, static_argnames=("n",))
+            def train_loop_f(p, s, batch, n):
+                def body(i, carry):
+                    p, s = carry
+                    p, s, _ = tstep_f(p, s, batch)
+                    return (p, s)
+
+                p, s = jax.lax.fori_loop(0, n, body, (p, s))
+                return jnp.sum(jax.tree_util.tree_leaves(p)[0])
+
+            float(train_loop_f(tparams, topt, tbatch, 2))
+            float(train_loop_f(tparams, topt, tbatch, 12))
+            t_lo = timed(lambda: train_loop_f(tparams, topt, tbatch, 2))
+            t_hi = timed(lambda: train_loop_f(tparams, topt, tbatch, 12))
+            train_fused_ms = (t_hi - t_lo) / 10 * 1e3
+        except Exception:
+            train_fused_ms = None
+
     # ---------- serving-batch fused projection (131k x 50 steps) ----------
     proj_big_s = None
     try:
@@ -397,6 +425,8 @@ def main():
             "fwd_whole_model_kernel_evals_per_sec":
                 round(evals_wm, 1) if evals_wm else None,
             "train_step_20k_ms": round(train_ms, 3) if train_ms else None,
+            "train_step_20k_fused_ms":
+                round(train_fused_ms, 3) if train_fused_ms else None,
             "bf16_evals_per_sec": round(bf16_evals, 1) if bf16_evals else None,
             "fused_value_and_grad_per_sec":
                 round(vag_fused, 1) if vag_fused else None,

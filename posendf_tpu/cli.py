@@ -76,6 +76,8 @@ def cmd_train(args):
     cfg = _load(args)
     if args.max_epoch is not None:
         cfg.train.max_epoch = args.max_epoch
+    if args.fused_grads:
+        cfg.train.fused_grads = True
     mesh = make_mesh(("data",))
     batcher = TrainingBatcher(
         cfg.data.data_dir, cfg.data.amass_dir,
@@ -211,6 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="raise immediately on any NaN under jit")
     p.add_argument("--test", action="store_true",
                    help="reference-CLI parity: generate poses instead of training")
+    p.add_argument("--fused-grads", action="store_true",
+                   help="fused Pallas train-gradient kernel (TPU single-chip "
+                        "fast path, lrelu/relu)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("generate", help="sample poses by manifold projection")

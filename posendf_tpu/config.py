@@ -85,6 +85,8 @@ class TrainConfig:
     eikonal: float = 1.0
     flip: bool = False             # quat_flip training inputs (w >= 0)
     remat: bool = False            # jax.checkpoint the loss forwards (big batches)
+    fused_grads: bool = False      # Pallas fused train-gradient kernel (TPU,
+                                   # single-chip, lrelu/relu; ops/fused_train.py)
     ckpt_backend: str = "msgpack"  # or 'orbax'
     extra: Dict[str, Any] = field(default_factory=dict)
 

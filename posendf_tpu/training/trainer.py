@@ -46,26 +46,47 @@ def make_optimizer(lr: float, weight_decay: float = 1e-4) -> optax.GradientTrans
 
 
 def make_train_step(module, optimizer, *, loss_type: str,
-                    weights: Dict[str, float], remat: bool = False):
+                    weights: Dict[str, float], remat: bool = False,
+                    fused: bool = False):
     """Build the pure train-step function (params, opt_state, batch) ->
     (params, opt_state, metrics). Jit/shard it at the call site.
     ``remat``: rematerialize the loss forwards under the outer grad
     (``losses.training_loss(remat=...)``) — the memory lever for >=64k-pose
-    batches."""
+    batches. ``fused``: compute the loss AND the parameter gradients with
+    the fused Pallas kernel (``ops/fused_train.py``) instead of autodiff —
+    TPU single-chip fast path for the standard lrelu/relu encoder+DFNet
+    architecture (per-chip program; wrap in shard_map yourself for
+    multi-chip — the Trainer only enables it on a single-device mesh)."""
+    if fused and (not module.use_encoder or module.ff_enc
+                  or module.activation not in ("lrelu", "relu")):
+        raise ValueError("fused train step requires the standard "
+                         "encoder+DFNet architecture with lrelu/relu")
 
     def step(params, opt_state, batch):
-        def loss_fn(p):
-            return training_loss(
-                module, p,
-                batch["pose"], batch["dist"], batch["man_poses"],
-                loss_type=loss_type,
+        if fused:
+            from posendf_tpu.ops.fused_train import fused_train_grads
+
+            total, terms, grads = fused_train_grads(
+                params, batch["pose"], batch["dist"], batch["man_poses"],
+                parents=module.parents, activation=module.activation,
+                beta=module.beta, loss_type=loss_type,
                 weight_dist=weights["dist"],
                 weight_man=weights["man_loss"],
                 weight_eikonal=weights["eikonal"],
-                remat=remat,
             )
+        else:
+            def loss_fn(p):
+                return training_loss(
+                    module, p,
+                    batch["pose"], batch["dist"], batch["man_poses"],
+                    loss_type=loss_type,
+                    weight_dist=weights["dist"],
+                    weight_man=weights["man_loss"],
+                    weight_eikonal=weights["eikonal"],
+                    remat=remat,
+                )
 
-        (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (total, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = dict(terms, total=total)
@@ -124,12 +145,18 @@ class Trainer:
                 self.opt_state = state["opt_state"]
                 self.epoch = epoch + 1
 
+        # the fused Pallas gradient kernel is a per-chip program: enable it
+        # only when there is no mesh (or a 1-device mesh) — the sharded SPMD
+        # path keeps autodiff so XLA can insert the gradient all-reduce
+        fused = bool(cfg.train.fused_grads) and (
+            mesh is None or mesh.size == 1)
         step = make_train_step(
             self.module, self.optimizer,
             loss_type=cfg.train.loss_type,
             weights={"dist": cfg.train.dist, "man_loss": cfg.train.man_loss,
                      "eikonal": cfg.train.eikonal},
             remat=cfg.train.remat,
+            fused=fused,
         )
         if mesh is not None:
             repl = NamedSharding(mesh, P())
