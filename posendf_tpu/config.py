@@ -52,6 +52,9 @@ class DFNetConfig:
     ff_freqs: int = 4
     compute_dtype: str = "float32"  # 'bfloat16' = MXU fast path
     precision: str = "default"      # 'highest' = true-fp32 matmuls (parity mode)
+    live_head: bool = False         # positive final-bias init: fixes the
+                                    # reference's dead-ReLU-head coin flip
+                                    # at init (see models/dfnet.py)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -126,6 +129,7 @@ class PoseNDFConfig:
             ff_freqs=self.dfnet.ff_freqs,
             compute_dtype=self.dfnet.compute_dtype,
             precision=self.dfnet.precision,
+            live_head=self.dfnet.live_head,
         )
 
 

@@ -52,6 +52,16 @@ class DFNet(nn.Module):
     beta: float = 100.0
     compute_dtype: str = "float32"
     precision: str = "default"   # 'highest' = fp32 MXU passes (parity mode)
+    # The reference's torch-default init (matched by _torch_linear_init) is
+    # a coin flip for lrelu/relu configs: the deep stack contracts the input
+    # signal so z_last ≈ b_last + ε is near-CONSTANT across poses, and when
+    # the flip lands negative the final ReLU clamps d ≡ 0 for EVERY pose —
+    # all training gradients are exactly zero and training silently never
+    # starts (measured: 2/6 torch-oracle seeds dead, 2/3 here). live_head
+    # replaces the last bias draw with a small positive constant so d > 0
+    # from step one. Off by default per the parity-quirk convention;
+    # trained-checkpoint loading is unaffected either way.
+    live_head: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -64,8 +74,12 @@ class DFNet(nn.Module):
         n_layers = len(widths) - 1
         for l in range(n_layers):
             fan_in, fan_out = widths[l], widths[l + 1]
+            last = l == n_layers - 1
             w = self.param(f"w{l}", lambda rng, fi=fan_in, fo=fan_out: _torch_linear_init(rng, fi, fo)[0])
-            b = self.param(f"b{l}", lambda rng, fi=fan_in, fo=fan_out: _torch_linear_init(rng, fi, fo)[1])
+            if last and self.live_head:
+                b = self.param(f"b{l}", lambda rng, fo=fan_out: jnp.full((fo,), 0.1))
+            else:
+                b = self.param(f"b{l}", lambda rng, fi=fan_in, fo=fan_out: _torch_linear_init(rng, fi, fo)[1])
             x = jnp.dot(x.astype(cdtype), w.astype(cdtype),
                         preferred_element_type=jnp.float32,
                         precision=prec) + b

@@ -44,6 +44,7 @@ class PoseNDF(nn.Module):
     ff_freqs: int = 4       # (the reference's unused ff_enc switch, made real)
     compute_dtype: str = "float32"  # 'bfloat16' = MXU fast path on DFNet
     precision: str = "default"      # 'highest' = fp32 MXU passes (parity mode)
+    live_head: bool = False         # positive final-bias init (see DFNet)
 
     def setup(self):
         if self.use_encoder:
@@ -70,6 +71,7 @@ class PoseNDF(nn.Module):
             beta=self.beta,
             compute_dtype=self.compute_dtype,
             precision=self.precision,
+            live_head=self.live_head,
         )
 
     def __call__(self, pose: jax.Array, normalize_input: bool = True) -> jax.Array:

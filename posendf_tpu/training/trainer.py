@@ -20,6 +20,7 @@ import functools
 import os
 import shutil
 import time
+import warnings
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -47,33 +48,58 @@ def make_optimizer(lr: float, weight_decay: float = 1e-4) -> optax.GradientTrans
 
 def make_train_step(module, optimizer, *, loss_type: str,
                     weights: Dict[str, float], remat: bool = False,
-                    fused: bool = False):
+                    fused: bool = False, mesh: Optional[Mesh] = None):
     """Build the pure train-step function (params, opt_state, batch) ->
     (params, opt_state, metrics). Jit/shard it at the call site.
     ``remat``: rematerialize the loss forwards under the outer grad
     (``losses.training_loss(remat=...)``) — the memory lever for >=64k-pose
     batches. ``fused``: compute the loss AND the parameter gradients with
     the fused Pallas kernel (``ops/fused_train.py``) instead of autodiff —
-    TPU single-chip fast path for the standard lrelu/relu encoder+DFNet
-    architecture (per-chip program; wrap in shard_map yourself for
-    multi-chip — the Trainer only enables it on a single-device mesh)."""
+    the TPU fast path for the standard lrelu/relu encoder+DFNet
+    architecture. With ``mesh`` (a 'data' axis), the fused kernel runs
+    per-chip under ``shard_map`` on the local batch shard and the loss/
+    gradients are ``pmean``-combined over ICI — the same math as the SPMD
+    autodiff path's XLA-inserted all-reduce, but requires the global batch
+    to divide evenly over the mesh (mean-of-means == global mean only for
+    equal shards; the batcher always produces divisible batches)."""
     if fused and (not module.use_encoder or module.ff_enc
                   or module.activation not in ("lrelu", "relu")):
         raise ValueError("fused train step requires the standard "
                          "encoder+DFNet architecture with lrelu/relu")
 
-    def step(params, opt_state, batch):
-        if fused:
-            from posendf_tpu.ops.fused_train import fused_train_grads
+    def fused_grads_local(params, pose, dist, man_poses):
+        from posendf_tpu.ops.fused_train import fused_train_grads
 
-            total, terms, grads = fused_train_grads(
-                params, batch["pose"], batch["dist"], batch["man_poses"],
-                parents=module.parents, activation=module.activation,
-                beta=module.beta, loss_type=loss_type,
-                weight_dist=weights["dist"],
-                weight_man=weights["man_loss"],
-                weight_eikonal=weights["eikonal"],
-            )
+        return fused_train_grads(
+            params, pose, dist, man_poses,
+            parents=module.parents, activation=module.activation,
+            beta=module.beta, loss_type=loss_type,
+            weight_dist=weights["dist"],
+            weight_man=weights["man_loss"],
+            weight_eikonal=weights["eikonal"],
+        )
+
+    def step(params, opt_state, batch):
+        if fused and mesh is not None and mesh.size > 1:
+            def shard_fn(params, pose, dist, man_poses):
+                total, terms, grads = fused_grads_local(
+                    params, pose, dist, man_poses)
+                # each shard averaged over its local rows; equal shards make
+                # pmean the exact global mean (autodiff-path equivalence)
+                pm = lambda t: jax.tree.map(          # noqa: E731
+                    functools.partial(jax.lax.pmean, axis_name="data"), t)
+                return pm(total), pm(terms), pm(grads)
+
+            data = P("data")
+            total, terms, grads = jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), data, data, data),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )(params, batch["pose"], batch["dist"], batch["man_poses"])
+        elif fused:
+            total, terms, grads = fused_grads_local(
+                params, batch["pose"], batch["dist"], batch["man_poses"])
         else:
             def loss_fn(p):
                 return training_loss(
@@ -136,6 +162,7 @@ class Trainer:
         self.params = self.module.init(key, jnp.zeros((1, 21, 4)))["params"]
         self.opt_state = self.optimizer.init(self.params)
         self.epoch = 0
+        self._warned_dead_head = False
 
         if cfg.train.continue_train:
             restored = self.store.restore({"params": self.params, "opt_state": self.opt_state})
@@ -145,18 +172,16 @@ class Trainer:
                 self.opt_state = state["opt_state"]
                 self.epoch = epoch + 1
 
-        # the fused Pallas gradient kernel is a per-chip program: enable it
-        # only when there is no mesh (or a 1-device mesh) — the sharded SPMD
-        # path keeps autodiff so XLA can insert the gradient all-reduce
-        fused = bool(cfg.train.fused_grads) and (
-            mesh is None or mesh.size == 1)
+        # fused Pallas gradient kernel: per-chip program; on a multi-device
+        # mesh make_train_step wraps it in shard_map + pmean over 'data'
         step = make_train_step(
             self.module, self.optimizer,
             loss_type=cfg.train.loss_type,
             weights={"dist": cfg.train.dist, "man_loss": cfg.train.man_loss,
                      "eikonal": cfg.train.eikonal},
             remat=cfg.train.remat,
-            fused=fused,
+            fused=bool(cfg.train.fused_grads),
+            mesh=mesh,
         )
         if mesh is not None:
             repl = NamedSharding(mesh, P())
@@ -216,6 +241,23 @@ class Trainer:
         out["poses_per_sec"] = n_poses / dt
         out["epoch_time_s"] = dt
         self.metrics.log(self.epoch, out)
+        # Dead-ReLU-head detector: the reference's torch-default init leaves
+        # d ≡ 0 for ~1/3 of lrelu/relu seeds (z_last is near-constant and the
+        # sign is a coin flip) — every gradient is exactly zero and training
+        # silently never moves. Signature: manifold |d| averaged exactly 0.0
+        # over a full epoch while the eikonal term is pinned at ~1 (‖∇d‖=0).
+        if (not self._warned_dead_head and step_metrics
+                and out["man_loss"] == 0.0 and out["eikonal"] > 0.99
+                and self.module.activation in ("lrelu", "relu")):
+            self._warned_dead_head = True
+            warnings.warn(
+                "The distance head appears DEAD (d == 0 for every pose: "
+                "man_loss == 0, eikonal ~= 1): all training gradients are "
+                "exactly zero and the loss will never move. This is the "
+                "reference init's coin flip for lrelu/relu heads; restart "
+                "with dfnet.live_head=true (positive final-bias init) or a "
+                "different seed.",
+                RuntimeWarning, stacklevel=2)
         return out
 
     def validate(self, batches: Iterator[Dict[str, Any]]) -> Dict[str, float]:

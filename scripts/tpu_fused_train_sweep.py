@@ -9,8 +9,12 @@ tiles. Iterations ride one jitted fori_loop and a scalar is read back, so
 the axon relay's early-return block_until_ready cannot skew the numbers.
 """
 
+import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -97,3 +97,51 @@ def test_softplus_rejected():
     with pytest.raises(ValueError, match="softplus"):
         fused_train_grads(params, q, jnp.zeros(4), q,
                           parents=REFERENCE_PARENTS, activation="softplus")
+
+
+def test_fused_step_sharded_matches_autodiff_step():
+    """make_train_step(fused=True, mesh=...) wraps the kernel in shard_map
+    with pmean'd losses/gradients over the 'data' axis. On a 2-device CPU
+    mesh (kernel in interpret mode; 8 shards of interpreted Pallas are too
+    slow for CI) one step must produce the same new params and metrics as
+    the replicated autodiff step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from posendf_tpu.training.trainer import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(3)
+    module, params, pose, gt, man = _setup(rng, "lrelu", B=32, M=16,
+                                           dims=(24, 32))
+    opt = make_optimizer(1e-3)
+    opt_state = opt.init(params)
+    w = {"dist": 1.0, "man_loss": 1.0, "eikonal": 1.0}
+    batch = {"pose": pose, "dist": gt, "man_poses": man}
+
+    ref_step = make_train_step(module, opt, loss_type="l1", weights=w)
+    ref_p, _, ref_m = jax.jit(ref_step)(params, opt_state, batch)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    assert mesh.size == 2
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    fused_step = make_train_step(module, opt, loss_type="l1", weights=w,
+                                 fused=True, mesh=mesh)
+    params_r = jax.device_put(params, repl)
+    opt_r = jax.device_put(opt_state, repl)
+    batch_s = {k: jax.device_put(v, data) for k, v in batch.items()}
+    with pltpu.force_tpu_interpret_mode():
+        new_p, _, m = jax.jit(
+            fused_step,
+            in_shardings=(repl, repl, {k: data for k in batch}),
+            out_shardings=(repl, repl, repl),
+        )(params_r, opt_r, batch_s)
+
+    for k in ("total", "dist", "man_loss", "eikonal"):
+        np.testing.assert_allclose(np.asarray(m[k]), np.asarray(ref_m[k]),
+                                   rtol=1e-5, atol=1e-8, err_msg=k)
+    flat_ref = dict(jax.tree.leaves_with_path(ref_p))
+    for path, leaf in jax.tree.leaves_with_path(new_p):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_ref[path]),
+            atol=2e-5 * max(1e-6, float(jnp.max(jnp.abs(flat_ref[path])))),
+            err_msg=str(path))
