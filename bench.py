@@ -240,7 +240,13 @@ def main():
             "dist": jnp.abs(jax.random.normal(jax.random.key(1), (tb,))),
             "man_poses": pose[:tb],
         }
-        tparams = params
+        # a live output head: the default init's dead-head coin flip makes
+        # every gradient exactly zero (identical op count, but measure at a
+        # non-degenerate point)
+        _bL = 1 + max(int(k[1:]) for k in params["dfnet"] if k[0] == "w")
+        tparams = dict(params, dfnet=dict(
+            params["dfnet"], **{f"b{_bL - 1}":
+                                params["dfnet"][f"b{_bL - 1}"] + 0.5}))
         topt = opt.init(tparams)
 
         @partial(jax.jit, static_argnames=("n",))

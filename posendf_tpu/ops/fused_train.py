@@ -512,8 +512,10 @@ def fused_train_grads(
     weight_dist: float = 1.0,
     weight_man: float = 1.0,
     weight_eikonal: float = 1.0,
-    tile_b: int = 1024,  # swept on v5e at 20k batch: 256=1.17x, 512=1.47x,
-                         # 1024=1.63x autodiff, 2048 regresses to 1.02x
+    tile_b: int = 2048,  # swept on v5e at the 20k train batch with 50-step
+                         # loops: 1024 = 4.10 ms/step, 2048 = 3.58 ms (1.75x
+                         # autodiff's 6.28 ms); short-loop 2048 samples are
+                         # noisy (2.9-6.5 ms) — trust the long-loop numbers
     compute_dtype: str = "float32",
 ) -> Tuple[jax.Array, Dict[str, jax.Array], Dict]:
     """Fused-kernel equivalent of
@@ -534,6 +536,16 @@ def fused_train_grads(
         raise ValueError(
             f"fused_train_grads supports lrelu/relu (got {activation!r}); "
             "use ops.train_grad.manual_train_grads or autodiff for softplus")
+    if jnp.dtype(compute_dtype) != jnp.float32:
+        # Measured on v5e at the 20k train batch: bf16 compute times WITHIN
+        # NOISE of fp32 (the MXU already eats fp32 operands at bf16 rate by
+        # default) while the e-chain's near-cancelling batch sums take up to
+        # ~14% direction error on encoder bias leaves. No win, real risk —
+        # same policy as ops/fused_model.py's bf16-gradient refusal.
+        raise ValueError(
+            "fused_train_grads computes parameter gradients in fp32 only "
+            f"(got compute_dtype={compute_dtype!r}); bf16 buys no speed "
+            "here and corrupts near-cancelling gradient sums")
     J = len(parents)
     L = _num_layers(params["dfnet"])
     pose = pose.reshape(-1, J, 4)

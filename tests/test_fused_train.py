@@ -145,3 +145,15 @@ def test_fused_step_sharded_matches_autodiff_step():
             np.asarray(leaf), np.asarray(flat_ref[path]),
             atol=2e-5 * max(1e-6, float(jnp.max(jnp.abs(flat_ref[path])))),
             err_msg=str(path))
+
+
+def test_kernel_bf16_refused(rng):
+    """Parameter gradients are fp32-only: bf16 compute measured WITHIN NOISE
+    of fp32 on v5e (the MXU already runs fp32 operands at bf16 rate) while
+    taking ~14% relative-L2 direction error on encoder bias leaves (batch
+    sums of near-cancelling e-chain terms). Same policy as fused_model's
+    bf16-gradient refusal."""
+    module, params, pose, gt, man = _setup(rng, "lrelu")
+    with pytest.raises(ValueError, match="fp32 only"):
+        fused_train_grads(params, pose, gt, man, parents=REFERENCE_PARENTS,
+                          activation="lrelu", compute_dtype="bfloat16")
