@@ -259,11 +259,13 @@ def main():
             p, s = jax.lax.fori_loop(0, n, body, (p, s))
             return jnp.sum(jax.tree_util.tree_leaves(p)[0])
 
+        # 50-step diff: at ~4-6 ms/step a 10-step diff (~50 ms) is inside
+        # the relay's jitter and misleads tile choices (see fused_train.py)
         float(train_loop(tparams, topt, tbatch, 2))
-        float(train_loop(tparams, topt, tbatch, 12))
+        float(train_loop(tparams, topt, tbatch, 52))
         t_lo = timed(lambda: train_loop(tparams, topt, tbatch, 2))
-        t_hi = timed(lambda: train_loop(tparams, topt, tbatch, 12))
-        train_ms = (t_hi - t_lo) / 10 * 1e3
+        t_hi = timed(lambda: train_loop(tparams, topt, tbatch, 52))
+        train_ms = (t_hi - t_lo) / 50 * 1e3
         try:
             ca = jax.jit(tstep).lower(tparams, topt, tbatch) \
                 .compile().cost_analysis()
@@ -297,10 +299,10 @@ def main():
                 return jnp.sum(jax.tree_util.tree_leaves(p)[0])
 
             float(train_loop_f(tparams, topt, tbatch, 2))
-            float(train_loop_f(tparams, topt, tbatch, 12))
+            float(train_loop_f(tparams, topt, tbatch, 52))
             t_lo = timed(lambda: train_loop_f(tparams, topt, tbatch, 2))
-            t_hi = timed(lambda: train_loop_f(tparams, topt, tbatch, 12))
-            train_fused_ms = (t_hi - t_lo) / 10 * 1e3
+            t_hi = timed(lambda: train_loop_f(tparams, topt, tbatch, 52))
+            train_fused_ms = (t_hi - t_lo) / 50 * 1e3
         except Exception:
             train_fused_ms = None
 
