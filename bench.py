@@ -249,23 +249,27 @@ def main():
                                 params["dfnet"][f"b{_bL - 1}"] + 0.5}))
         topt = opt.init(tparams)
 
-        @partial(jax.jit, static_argnames=("n",))
-        def train_loop(p, s, batch, n):
-            def body(i, carry):
-                p, s = carry
-                p, s, _ = tstep(p, s, batch)
-                return (p, s)
+        def time_train_step(step):
+            # 50-step diff: at ~4-6 ms/step a 10-step diff (~50 ms) is
+            # inside the relay's jitter and misleads tile choices
+            # (see ops/fused_train.py tile history)
+            @partial(jax.jit, static_argnames=("n",))
+            def loop(p, s, batch, n):
+                def body(i, carry):
+                    p, s = carry
+                    p, s, _ = step(p, s, batch)
+                    return (p, s)
 
-            p, s = jax.lax.fori_loop(0, n, body, (p, s))
-            return jnp.sum(jax.tree_util.tree_leaves(p)[0])
+                p, s = jax.lax.fori_loop(0, n, body, (p, s))
+                return jnp.sum(jax.tree_util.tree_leaves(p)[0])
 
-        # 50-step diff: at ~4-6 ms/step a 10-step diff (~50 ms) is inside
-        # the relay's jitter and misleads tile choices (see fused_train.py)
-        float(train_loop(tparams, topt, tbatch, 2))
-        float(train_loop(tparams, topt, tbatch, 52))
-        t_lo = timed(lambda: train_loop(tparams, topt, tbatch, 2))
-        t_hi = timed(lambda: train_loop(tparams, topt, tbatch, 52))
-        train_ms = (t_hi - t_lo) / 50 * 1e3
+            float(loop(tparams, topt, tbatch, 2))
+            float(loop(tparams, topt, tbatch, 52))
+            t_lo = timed(lambda: loop(tparams, topt, tbatch, 2))
+            t_hi = timed(lambda: loop(tparams, topt, tbatch, 52))
+            return (t_hi - t_lo) / 50 * 1e3
+
+        train_ms = time_train_step(tstep)
         try:
             ca = jax.jit(tstep).lower(tparams, topt, tbatch) \
                 .compile().cost_analysis()
@@ -287,22 +291,7 @@ def main():
             tstep_f = make_train_step(module, opt, loss_type="l1",
                                       weights={"dist": 1.0, "man_loss": 1.0,
                                                "eikonal": 1.0}, fused=True)
-
-            @partial(jax.jit, static_argnames=("n",))
-            def train_loop_f(p, s, batch, n):
-                def body(i, carry):
-                    p, s = carry
-                    p, s, _ = tstep_f(p, s, batch)
-                    return (p, s)
-
-                p, s = jax.lax.fori_loop(0, n, body, (p, s))
-                return jnp.sum(jax.tree_util.tree_leaves(p)[0])
-
-            float(train_loop_f(tparams, topt, tbatch, 2))
-            float(train_loop_f(tparams, topt, tbatch, 52))
-            t_lo = timed(lambda: train_loop_f(tparams, topt, tbatch, 2))
-            t_hi = timed(lambda: train_loop_f(tparams, topt, tbatch, 52))
-            train_fused_ms = (t_hi - t_lo) / 50 * 1e3
+            train_fused_ms = time_train_step(tstep_f)
         except Exception:
             train_fused_ms = None
 

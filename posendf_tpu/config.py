@@ -89,7 +89,10 @@ class TrainConfig:
     flip: bool = False             # quat_flip training inputs (w >= 0)
     remat: bool = False            # jax.checkpoint the loss forwards (big batches)
     fused_grads: bool = False      # Pallas fused train-gradient kernel (TPU,
-                                   # single-chip, lrelu/relu; ops/fused_train.py)
+                                   # lrelu/relu; multi-chip via shard_map+pmean;
+                                   # ops/fused_train.py)
+    fused_tile: int = 2048         # kernel batch tile (v5e sweep: 2048 at the
+                                   # 20k batch; smaller batches clamp anyway)
     ckpt_backend: str = "msgpack"  # or 'orbax'
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -48,7 +48,8 @@ def make_optimizer(lr: float, weight_decay: float = 1e-4) -> optax.GradientTrans
 
 def make_train_step(module, optimizer, *, loss_type: str,
                     weights: Dict[str, float], remat: bool = False,
-                    fused: bool = False, mesh: Optional[Mesh] = None):
+                    fused: bool = False, mesh: Optional[Mesh] = None,
+                    fused_tile: int = 2048):
     """Build the pure train-step function (params, opt_state, batch) ->
     (params, opt_state, metrics). Jit/shard it at the call site.
     ``remat``: rematerialize the loss forwards under the outer grad
@@ -66,6 +67,17 @@ def make_train_step(module, optimizer, *, loss_type: str,
                   or module.activation not in ("lrelu", "relu")):
         raise ValueError("fused train step requires the standard "
                          "encoder+DFNet architecture with lrelu/relu")
+    if fused and (module.compute_dtype != "float32"
+                  or module.precision != "default"):
+        # the kernel has no precision/compute_dtype knobs (fp32 operands at
+        # the MXU's default one-pass rate; bf16 is refused — fused_train.py);
+        # raising here keeps the fused and autodiff paths from silently
+        # diverging numerics for the same config
+        raise ValueError(
+            "fused train step runs fp32 at default matmul precision only "
+            f"(module has compute_dtype={module.compute_dtype!r}, "
+            f"precision={module.precision!r}); drop fused_grads or reset "
+            "those knobs")
 
     def fused_grads_local(params, pose, dist, man_poses):
         from posendf_tpu.ops.fused_train import fused_train_grads
@@ -77,6 +89,7 @@ def make_train_step(module, optimizer, *, loss_type: str,
             weight_dist=weights["dist"],
             weight_man=weights["man_loss"],
             weight_eikonal=weights["eikonal"],
+            tile_b=fused_tile,
         )
 
     def step(params, opt_state, batch):
@@ -182,6 +195,7 @@ class Trainer:
             remat=cfg.train.remat,
             fused=bool(cfg.train.fused_grads),
             mesh=mesh,
+            fused_tile=cfg.train.fused_tile,
         )
         if mesh is not None:
             repl = NamedSharding(mesh, P())

@@ -16,18 +16,7 @@ from posendf_tpu.losses import training_loss
 from posendf_tpu.models import PoseNDF
 from posendf_tpu.ops.fused_train import fused_train_grads
 from posendf_tpu.ops.train_grad import manual_train_grads
-from tests.test_train_grad import _setup  # shared live-head setup
-
-
-def _assert_grads_close(grads, ref_grads, atol_scale=2e-5):
-    flat_ref = jax.tree.leaves_with_path(ref_grads)
-    flat = dict(jax.tree.leaves_with_path(grads))
-    for path, leaf in flat_ref:
-        got = flat[path]
-        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(leaf), atol=atol_scale * scale,
-            err_msg=str(path))
+from tests.test_train_grad import _assert_grads_close, _setup
 
 
 @pytest.mark.parametrize("activation", ["lrelu", "relu"])

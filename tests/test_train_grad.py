@@ -18,6 +18,18 @@ from posendf_tpu.models import PoseNDF
 from posendf_tpu.ops.train_grad import manual_train_grads
 
 
+def _assert_grads_close(grads, ref_grads, atol_scale=2e-5):
+    """Per-leaf scaled-atol comparison of two gradient pytrees (the grads
+    tree uses the flax {"enc": ..., "dfnet": ...} layout)."""
+    flat = dict(jax.tree.leaves_with_path(grads))
+    for path, leaf in jax.tree.leaves_with_path(ref_grads):
+        got = flat[path]
+        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), atol=atol_scale * scale,
+            err_msg=str(path))
+
+
 def _liven_head(module, params, q, man):
     """lrelu/relu heads end in ReLU; even a perturbed random point can leave
     z_last < 0 on EVERY row, making d == 0 and the gradient of every loss
@@ -77,18 +89,11 @@ def test_manual_matches_autodiff(rng, activation, loss_type):
     for k in ref_terms:
         np.testing.assert_allclose(terms[k], ref_terms[k], rtol=1e-5, atol=1e-8,
                                    err_msg=k)
-    flat_ref = jax.tree.leaves_with_path(ref_grads)
-    flat = dict(jax.tree.leaves_with_path(grads))
-    # grads pytree uses {"enc": ..., "dfnet": ...} like flax params.
     # softplus(beta=100)'s double backprop amplifies fp32 op-order noise
     # ~beta-fold; its tolerance is wider than the piecewise-linear acts'.
-    tol = 2e-4 if activation == "softplus" else 2e-5
-    for path, leaf in flat_ref:
-        got = dict(flat)[path]
-        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(leaf), atol=tol * scale,
-            err_msg=str(path))
+    _assert_grads_close(
+        grads, ref_grads,
+        atol_scale=2e-4 if activation == "softplus" else 2e-5)
 
 
 def test_manual_weighted_terms(rng):
@@ -104,12 +109,7 @@ def test_manual_weighted_terms(rng):
     _, _, grads = manual_train_grads(
         params, pose, gt, man, parents=REFERENCE_PARENTS,
         activation="lrelu", loss_type="l1", **w)
-    for path, leaf in jax.tree.leaves_with_path(ref_grads):
-        got = dict(jax.tree.leaves_with_path(grads))[path]
-        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(leaf), atol=2e-5 * scale,
-            err_msg=str(path))
+    _assert_grads_close(grads, ref_grads)
 
 
 def test_manual_unequal_branch_sizes(rng):
@@ -125,9 +125,4 @@ def test_manual_unequal_branch_sizes(rng):
     total, _, grads = manual_train_grads(
         params, pose, gt, man, parents=REFERENCE_PARENTS, activation="lrelu")
     np.testing.assert_allclose(total, ref_total, rtol=1e-5, atol=1e-8)
-    for path, leaf in jax.tree.leaves_with_path(ref_grads):
-        got = dict(jax.tree.leaves_with_path(grads))[path]
-        scale = max(1e-6, float(jnp.max(jnp.abs(leaf))))
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(leaf), atol=2e-5 * scale,
-            err_msg=str(path))
+    _assert_grads_close(grads, ref_grads)
