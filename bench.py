@@ -249,7 +249,7 @@ def main():
                                 params["dfnet"][f"b{_bL - 1}"] + 0.5}))
         topt = opt.init(tparams)
 
-        def time_train_step(step):
+        def time_train_step(step, b):
             # 50-step diff: at ~4-6 ms/step a 10-step diff (~50 ms) is
             # inside the relay's jitter and misleads tile choices
             # (see ops/fused_train.py tile history)
@@ -263,13 +263,13 @@ def main():
                 p, s = jax.lax.fori_loop(0, n, body, (p, s))
                 return jnp.sum(jax.tree_util.tree_leaves(p)[0])
 
-            float(loop(tparams, topt, tbatch, 2))
-            float(loop(tparams, topt, tbatch, 52))
-            t_lo = timed(lambda: loop(tparams, topt, tbatch, 2))
-            t_hi = timed(lambda: loop(tparams, topt, tbatch, 52))
+            float(loop(tparams, topt, b, 2))
+            float(loop(tparams, topt, b, 52))
+            t_lo = timed(lambda: loop(tparams, topt, b, 2))
+            t_hi = timed(lambda: loop(tparams, topt, b, 52))
             return (t_hi - t_lo) / 50 * 1e3
 
-        train_ms = time_train_step(tstep)
+        train_ms = time_train_step(tstep, tbatch)
         try:
             ca = jax.jit(tstep).lower(tparams, topt, tbatch) \
                 .compile().cost_analysis()
@@ -291,9 +291,25 @@ def main():
             tstep_f = make_train_step(module, opt, loss_type="l1",
                                       weights={"dist": 1.0, "man_loss": 1.0,
                                                "eikonal": 1.0}, fused=True)
-            train_fused_ms = time_train_step(tstep_f)
+            train_fused_ms = time_train_step(tstep_f, tbatch)
         except Exception:
             train_fused_ms = None
+
+    # fused train step at 65k poses — the fused sweet spot: autodiff is
+    # bandwidth-walled past 20k (eikonal activations spill to HBM) while
+    # the kernel holds ~12M poses/s (ARCHITECTURE.md section 5)
+    train_fused_65k_ms = None
+    if train_fused_ms is not None:
+        try:
+            b65 = 1 << 16
+            tb65 = {
+                "pose": pose[:b65],
+                "dist": jnp.abs(jax.random.normal(jax.random.key(2), (b65,))),
+                "man_poses": pose[b65:2 * b65],
+            }
+            train_fused_65k_ms = time_train_step(tstep_f, tb65)
+        except Exception:
+            train_fused_65k_ms = None
 
     # ---------- serving-batch fused projection (131k x 50 steps) ----------
     proj_big_s = None
@@ -424,6 +440,8 @@ def main():
             "train_step_20k_ms": round(train_ms, 3) if train_ms else None,
             "train_step_20k_fused_ms":
                 round(train_fused_ms, 3) if train_fused_ms else None,
+            "train_step_65k_fused_ms":
+                round(train_fused_65k_ms, 3) if train_fused_65k_ms else None,
             "bf16_evals_per_sec": round(bf16_evals, 1) if bf16_evals else None,
             "fused_value_and_grad_per_sec":
                 round(vag_fused, 1) if vag_fused else None,
