@@ -165,6 +165,25 @@ def cmd_partial(args):
     run_cli(args)
 
 
+def cmd_export(args):
+    from posendf_tpu.export import export_forward, export_project, save_artifact
+
+    cfg = _load(args)
+    module, params = _load_params(cfg, args.ckpt)
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    if args.what == "forward":
+        exp = export_forward(module, params, batch=args.batch,
+                             platforms=platforms)
+    else:
+        exp = export_project(module, params, steps=args.steps,
+                             batch=args.batch, platforms=platforms,
+                             renormalize=not args.no_renorm)
+    save_artifact(exp, args.out)
+    batch = args.batch if args.batch is not None else "symbolic"
+    print(f"exported {args.what} (batch={batch}, "
+          f"platforms={','.join(exp.platforms)}) -> {args.out}")
+
+
 def cmd_interpolate(args):
     from posendf_tpu.experiments.interpolate import run_cli
 
@@ -234,6 +253,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-dir", default=None)
     p.add_argument("--bm-path", default=None, help="SMPL model file")
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("export",
+                       help="serialize the model for serving (jax.export "
+                            "artifact; loads anywhere jax runs, no "
+                            "posendf_tpu needed)")
+    _add_common(p)
+    p.add_argument("--out", required=True, help="artifact output path")
+    p.add_argument("--what", choices=("forward", "project"),
+                   default="forward",
+                   help="forward: pose -> distance; project: a whole "
+                        "N-step projection solve")
+    p.add_argument("--steps", type=int, default=10,
+                   help="projection steps baked into a 'project' artifact")
+    p.add_argument("--batch", type=int, default=None,
+                   help="static batch size (default: symbolic — one "
+                        "artifact, any batch)")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms, e.g. tpu,cpu "
+                        "(default: current backend)")
+    p.add_argument("--no-renorm", action="store_true",
+                   help="reference-exact projection (no per-step renorm)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("denoise", help="motion denoising with the field prior")
     _add_common(p)
