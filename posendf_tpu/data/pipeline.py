@@ -180,8 +180,10 @@ class TrainingBatcher:
         does not desync later batches.
         """
         rng = rng or self._rng
-        inner = np.random.default_rng(int(rng.integers(0, 2 ** 62)))
-        if lab_idx is None:
+        seed0 = int(rng.integers(0, 2 ** 62))
+        inner = np.random.default_rng(seed0)
+        lab_was_none = lab_idx is None
+        if lab_was_none:
             lab_idx = inner.integers(0, len(self.files.labeled), self.batch_size)
         man_idx = inner.integers(0, len(self.files.manifold), self.batch_size)
 
@@ -199,7 +201,14 @@ class TrainingBatcher:
                     self._native_handles.clear()  # release mmaps/fds
                 self._native = None  # e.g. compressed npz: fall back for good
                 self.backend = "numpy"
-                inner = np.random.default_rng(int(rng.integers(0, 2 ** 62)))
+                # re-seed the child from the SAME seed and replay the header
+                # draws: the numpy loop below then sees exactly the stream a
+                # never-native run would have — no second parent draw, no
+                # desync of later batches (the documented contract above)
+                inner = np.random.default_rng(seed0)
+                if lab_was_none:
+                    inner.integers(0, len(self.files.labeled), self.batch_size)
+                inner.integers(0, len(self.files.manifold), self.batch_size)
 
         poses, dists, mans = [], [], []
         for li, mi in zip(lab_idx, man_idx):
@@ -209,14 +218,20 @@ class TrainingBatcher:
             d = lab["dist"][rows]
             if d.ndim > 1:
                 d = d.mean(axis=1)  # mean of k nearest (load_data.py:53)
-            man = self._load(self.files.manifold[mi], ("pose",))
-            mrows = inner.integers(0, len(man["pose"]), self.num_pts)
-            m = man["pose"][mrows]
-            if self.flip:
-                p = _flip_np(p)
+            if self.flip and self.flip_mode == "reference":
                 # reference quirk (load_data.py:63): man_poses = the flipped
-                # NOISY rows, not the manifold draws
-                m = p if self.flip_mode == "reference" else _flip_np(m)
+                # NOISY rows — skip the (discarded) manifold load entirely,
+                # like the native path; no rng draw so the stream is
+                # unchanged relative to the draws a consumer observes
+                p = _flip_np(p)
+                m = p
+            else:
+                man = self._load(self.files.manifold[mi], ("pose",))
+                mrows = inner.integers(0, len(man["pose"]), self.num_pts)
+                m = man["pose"][mrows]
+                if self.flip:
+                    p = _flip_np(p)
+                    m = _flip_np(m)
             poses.append(p)
             dists.append(d)
             mans.append(m)
@@ -227,8 +242,14 @@ class TrainingBatcher:
         }
 
     def _sample_batch_native(self, rng, lab_idx, man_idx) -> Dict[str, np.ndarray]:
-        """C++ fast path: whole-batch gather into pre-sized buffers."""
-        B, P = self.batch_size, self.num_pts
+        """C++ fast path: whole-batch gather into pre-sized buffers.
+
+        Sized by ``len(lab_idx)``, not ``batch_size``: ``epoch()`` hands a
+        SHORT final index slice when fewer labeled files than batch_size
+        exist, and sizing by batch_size would return np.empty rows of
+        uninitialized memory as training data (numpy path returns the short
+        batch)."""
+        B, P = len(lab_idx), self.num_pts
         pose = np.empty((B * P, 21, 4), np.float32)
         dist = np.empty((B * P,), np.float32)
         man = np.empty((B * P, 21, 4), np.float32)

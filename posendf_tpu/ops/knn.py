@@ -217,7 +217,12 @@ def geodesic_topk(
         dots = _per_joint_dots(query_quats, tile, precision)  # (J, Q, T)
         per_joint = 1.0 - jnp.abs(dots)
         if weights is not None:
-            geo = jnp.einsum("jqn,j->qn", per_joint, weights)
+            # honor the exactness contract end to end: at the session
+            # default this j-contraction would run as a single bf16 MXU
+            # pass, reintroducing ~1e-3 noise into otherwise-exact
+            # distances (near-tie neighbors could swap)
+            geo = jnp.einsum("jqn,j->qn", per_joint, weights,
+                             precision=precision)
         else:
             geo = jnp.mean(per_joint, axis=0)           # (Q, T)
         base = t_idx * corpus_tile
@@ -275,7 +280,9 @@ def euclidean_topk(
             q_sq.T[:, :, None] + c_sq.T[:, None, :] - 2.0 * dots, 0.0)
         per_joint = jnp.sqrt(per_joint_sq + 1e-24)      # (J, Q, T)
         if weights is not None:
-            d = jnp.einsum("jqn,j->qn", per_joint, weights)
+            # exact fp32 contraction (see geodesic_topk's weighted branch)
+            d = jnp.einsum("jqn,j->qn", per_joint, weights,
+                           precision=precision)
         else:
             d = jnp.mean(per_joint, axis=0)
         base = t_idx * corpus_tile

@@ -42,14 +42,26 @@ def init_distributed(**kwargs) -> int:
     unchanged. Idempotent: a second call is a no-op.
 
     Returns the process index (0 on single-host setups or if distributed
-    initialization is unavailable).
+    initialization is unavailable). A FAILED initialization in an
+    explicitly-requested multi-host setup re-raises: silently degrading
+    each host to a local-only process_index-0 run (every host training the
+    whole data, racing on the same checkpoint paths) is far worse than
+    crashing at startup.
     """
+    explicit = bool(kwargs)
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # only a true double-initialization is ignorable; jaxlib runtime
+        # errors (e.g. coordinator unreachable) subclass RuntimeError too
+        if "already initialized" not in str(e).lower():
+            if explicit:
+                raise
+            return 0  # auto-detect found no pod env: local-only mode
     except Exception:
-        return 0  # single-host / no coordinator reachable: local-only mode
+        if explicit:
+            raise
+        return 0  # single-host / no coordinator detectable: local-only mode
     return jax.process_index()
 
 

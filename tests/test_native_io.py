@@ -183,3 +183,63 @@ def test_truncated_npz_fails_cleanly(tmp_path, npz_file):
     except RuntimeError:
         pass
     h.close()
+
+
+def test_batcher_short_final_epoch_batch_native(tmp_path):
+    """Fewer labeled files than batch_size: epoch() hands a SHORT index
+    slice; the native path must size its gather buffers by len(lab_idx),
+    not batch_size — sizing by batch_size returned np.empty rows of
+    uninitialized memory as training data."""
+    from posendf_tpu.data.pipeline import TrainingBatcher
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path))
+    probe = TrainingBatcher(labeled, amass, batch_size=1, num_pts=16,
+                            backend="numpy", seed=0)
+    n_files = len(probe.files.labeled)
+    bs = n_files + 2  # forces a short lab_idx from epoch()
+    b = TrainingBatcher(labeled, amass, batch_size=bs, num_pts=16,
+                        backend="native", seed=0)
+    assert b.backend == "native"
+    batches = list(b.epoch(0))
+    assert batches, "epoch produced no batches"
+    for batch in batches:
+        rows = batch["pose"].shape[0]
+        assert rows == n_files * 16  # the short batch, not bs*16
+        assert np.isfinite(batch["pose"]).all()
+        assert np.isfinite(batch["dist"]).all()
+        assert np.isfinite(batch["man_poses"]).all()
+        # unit quaternions everywhere — uninitialized memory would not be
+        np.testing.assert_allclose(
+            np.linalg.norm(batch["pose"], axis=-1), 1.0, atol=1e-4)
+        np.testing.assert_allclose(
+            np.linalg.norm(batch["man_poses"], axis=-1), 1.0, atol=1e-4)
+
+
+def test_fallback_preserves_batch_stream(tmp_path):
+    """A mid-run native->numpy fallback must not desync the (seed, epoch)
+    batch stream: the failing batch re-seeds its child rng from the SAME
+    seed (no second parent draw), so every batch matches a never-native
+    run exactly."""
+    from posendf_tpu.data.pipeline import TrainingBatcher
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path))
+    b_ref = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32,
+                            backend="numpy", seed=7)
+    ref = [b_ref.sample_batch() for _ in range(3)]
+
+    b = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32,
+                        backend="native", seed=7)
+    assert b.backend == "native"
+
+    # force the native path to die on the FIRST batch
+    def boom(*a, **k):
+        raise OSError("injected native failure")
+
+    b._sample_batch_native = boom
+    with pytest.warns(UserWarning, match="native loader failed"):
+        got0 = b.sample_batch()
+    assert b.backend == "numpy"
+    got = [got0] + [b.sample_batch() for _ in range(2)]
+    for g, r in zip(got, ref):
+        for k in ("pose", "dist", "man_poses"):
+            np.testing.assert_array_equal(g[k], r[k])
