@@ -304,8 +304,12 @@ def label_sequence(
     ``fused``: None (auto) takes the single-kernel Pallas search
     (``ops/fused_knn.py``, ~1.7x the XLA scan) whenever it applies — exact
     single-stage geodesic, k <= 8, 'highest' precision, single device, on a
-    TPU backend. True forces it (errors off-TPU or with ``mesh``); False
-    forces the XLA scan."""
+    TPU backend. ``fused=True`` with ``mesh`` runs the kernel per-chip
+    under ``jit(shard_map)`` (queries sharded, corpus replicated,
+    bit-identical results; indivisible tail batches use the XLA scan) —
+    but measured SLOWER than the scan when wrapped this way (4.0k vs 15.0k
+    qps on a 1-device mesh), so auto mode keeps the scan whenever a mesh
+    is given. False forces the scan."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
@@ -341,20 +345,27 @@ def label_sequence(
 
     fused_eligible = (metric == "geo" and corpus_emb is None
                       and not k_candidates and k <= 8
-                      and precision == "highest" and mesh is None)
+                      and precision == "highest")
     if fused is None:
         import jax
 
-        use_fused = fused_eligible and jax.default_backend() == "tpu"
+        # auto: single-device only. Wrapped in jit(shard_map) the kernel
+        # measured 4.0k qps vs the XLA scan's 15.0k on a 1-device mesh
+        # (the raw kernel does 37k) — Mosaic-under-shard_map loses its
+        # advantage here, so the scan stays the sharded default; fused=True
+        # still forces the (exact, tested) sharded kernel path.
+        use_fused = (fused_eligible and mesh is None
+                     and jax.default_backend() == "tpu")
     elif fused and not fused_eligible:
         raise ValueError(
             "fused=True requires the exact single-stage geodesic search "
             "(metric='geo', no candidates/embedding, k<=8, "
-            "precision='highest') on a single device (mesh=None)")
+            "precision='highest')")
     else:
         use_fused = fused
 
     dists, idxs = [], []
+    _fused_sharded = [None]  # jitted shard_map search, built on first use
     for start in range(0, len(queries), query_batch):
         q = jnp.asarray(queries[start:start + query_batch])
         if query_sharding is not None and len(q) % mesh.devices.size == 0:
@@ -384,7 +395,30 @@ def label_sequence(
             # v5e; bit-identical neighbor sets (fp32 VPU math both paths)
             from posendf_tpu.ops.fused_knn import fused_geodesic_topk
 
-            d, i = fused_geodesic_topk(q, corpus, k, weights=w_np)
+            if mesh is not None and len(q) % mesh.devices.size == 0:
+                # per-chip kernel under jit(shard_map): queries sharded over
+                # 'data', corpus replicated (passed as an ARGUMENT — a
+                # closure would embed it as a jaxpr constant), indices
+                # already global since every chip scans the whole corpus.
+                # Built ONCE per label_sequence call: eager shard_map
+                # retraces per invocation (measured 20x slower).
+                import jax
+                from jax.sharding import PartitionSpec as P
+
+                if _fused_sharded[0] is None:
+                    _fused_sharded[0] = jax.jit(jax.shard_map(
+                        lambda qq, cc: fused_geodesic_topk(qq, cc, k,
+                                                           weights=w_np),
+                        mesh=mesh, in_specs=(P("data"), P()),
+                        out_specs=(P("data"), P("data")), check_vma=False,
+                    ))
+                d, i = _fused_sharded[0](q, corpus)
+            elif mesh is not None:
+                # indivisible tail batch: XLA scan (same exact math)
+                d, i = geodesic_topk(q, corpus, k=k, weights=w,
+                                     precision=precision)
+            else:
+                d, i = fused_geodesic_topk(q, corpus, k, weights=w_np)
         else:
             # exact single-stage geodesic top-k (weighted or not)
             d, i = geodesic_topk(q, corpus, k=k, weights=w,

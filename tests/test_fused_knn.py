@@ -101,3 +101,27 @@ def test_fused_duplicate_corpus_rows(rng):
                                tile_q=8, tile_t=128, interpret=True)
     assert np.asarray(d)[0].max() < 1e-6
     assert set(np.asarray(i)[0]) == {10, 50, 90}
+
+
+def test_label_sequence_fused_sharded(rng):
+    """label_sequence(fused=True, mesh=...) runs the kernel per-chip under
+    shard_map (queries sharded, corpus replicated) and must reproduce the
+    unsharded exact labels bit-for-bit. 2-device mesh: 8 shards of
+    interpreted Pallas are too slow for CI."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    from posendf_tpu.data.prepare import label_sequence
+
+    corpus = jnp.asarray(_quats(rng, 300))
+    seq = _quats(rng, 20)
+    kw = dict(num_queries=32, k=4, query_batch=16)
+    ref = label_sequence(seq, corpus, fused=False,
+                         rng=np.random.default_rng(7), **kw)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    with pltpu.force_tpu_interpret_mode():
+        out = label_sequence(seq, corpus, fused=True, mesh=mesh,
+                             rng=np.random.default_rng(7), **kw)
+    np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
+    np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
