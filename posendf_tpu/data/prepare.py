@@ -236,6 +236,43 @@ def sample_noisy_queries(
 # stage 3: device-side labeling
 # --------------------------------------------------------------------------
 
+def _sharded_fused_search(mesh, k: int, weighted: bool):
+    """Module-cached jit(shard_map) single-kernel search for
+    ``label_sequence(fused=True, mesh=...)``.
+
+    Cached on (mesh, k, weighted): rebuilding the jitted wrapper per
+    label_sequence call forces a retrace + executable fetch per sequence
+    (measured ~1 s/batch — 10x the kernel itself; inside one jit object the
+    shard_map'd kernel times IDENTICAL to the raw kernel, 79.9 vs 80.5 ms
+    at 4096x262k)."""
+    import functools
+
+    if not hasattr(_sharded_fused_search, "_cache"):
+        _sharded_fused_search._cache = {}
+    key = (mesh, k, weighted)
+    hit = _sharded_fused_search._cache.get(key)
+    if hit is not None:
+        return hit
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from posendf_tpu.ops.fused_knn import fused_geodesic_topk
+    from posendf_tpu.quat import SMPL_JOINT_RANK
+
+    w_np = None
+    if weighted:
+        w_np = (np.asarray(SMPL_JOINT_RANK, np.float32)
+                / np.linalg.norm(SMPL_JOINT_RANK))
+    fn = jax.jit(jax.shard_map(
+        functools.partial(fused_geodesic_topk, k=k, weights=w_np),
+        mesh=mesh, in_specs=(P("data"), P()),
+        out_specs=(P("data"), P("data")), check_vma=False,
+    ))
+    _sharded_fused_search._cache[key] = fn
+    return fn
+
+
 def _fk_joint_embedding(quats: np.ndarray, body_model, batch: int = 8192) -> np.ndarray:
     """(N, 21, 4) -> (N, 75) posed joint positions via SMPL forward
     kinematics — the joint-space search embedding. The reference builds its
@@ -305,11 +342,14 @@ def label_sequence(
     (``ops/fused_knn.py``, ~1.7x the XLA scan) whenever it applies — exact
     single-stage geodesic, k <= 8, 'highest' precision, single device, on a
     TPU backend. ``fused=True`` with ``mesh`` runs the kernel per-chip
-    under ``jit(shard_map)`` (queries sharded, corpus replicated,
-    bit-identical results; indivisible tail batches use the XLA scan) —
-    but measured SLOWER than the scan when wrapped this way (4.0k vs 15.0k
-    qps on a 1-device mesh), so auto mode keeps the scan whenever a mesh
-    is given. False forces the scan."""
+    under the module-cached ``jit(shard_map)`` wrapper (queries sharded,
+    corpus replicated, bit-identical results; indivisible tail batches use
+    the XLA scan). On this relay-attached single chip it only TIES the
+    scan (14.3k vs 14.1k qps — per-batch host I/O dominates; the wrapped
+    kernel itself times IDENTICAL to raw inside one jit, 79.9 vs 80.5 ms),
+    so auto mode keeps the scan whenever a mesh is given; on
+    directly-attached multi-chip hardware the kernel path may win — it is
+    exact either way. False forces the scan."""
     import jax.numpy as jnp
 
     from posendf_tpu.ops import (
@@ -349,11 +389,10 @@ def label_sequence(
     if fused is None:
         import jax
 
-        # auto: single-device only. Wrapped in jit(shard_map) the kernel
-        # measured 4.0k qps vs the XLA scan's 15.0k on a 1-device mesh
-        # (the raw kernel does 37k) — Mosaic-under-shard_map loses its
-        # advantage here, so the scan stays the sharded default; fused=True
-        # still forces the (exact, tested) sharded kernel path.
+        # auto: single-device only. The sharded kernel path only TIES the
+        # XLA scan on the relay-attached chip (see the docstring), so the
+        # scan stays the sharded default; fused=True still forces the
+        # (exact, tested) sharded kernel path.
         use_fused = (fused_eligible and mesh is None
                      and jax.default_backend() == "tpu")
     elif fused and not fused_eligible:
@@ -365,7 +404,6 @@ def label_sequence(
         use_fused = fused
 
     dists, idxs = [], []
-    _fused_sharded = [None]  # jitted shard_map search, built on first use
     for start in range(0, len(queries), query_batch):
         q = jnp.asarray(queries[start:start + query_batch])
         if query_sharding is not None and len(q) % mesh.devices.size == 0:
@@ -396,23 +434,12 @@ def label_sequence(
             from posendf_tpu.ops.fused_knn import fused_geodesic_topk
 
             if mesh is not None and len(q) % mesh.devices.size == 0:
-                # per-chip kernel under jit(shard_map): queries sharded over
+                # per-chip kernel under the MODULE-CACHED jit(shard_map)
+                # wrapper (_sharded_fused_search): queries sharded over
                 # 'data', corpus replicated (passed as an ARGUMENT — a
                 # closure would embed it as a jaxpr constant), indices
-                # already global since every chip scans the whole corpus.
-                # Built ONCE per label_sequence call: eager shard_map
-                # retraces per invocation (measured 20x slower).
-                import jax
-                from jax.sharding import PartitionSpec as P
-
-                if _fused_sharded[0] is None:
-                    _fused_sharded[0] = jax.jit(jax.shard_map(
-                        lambda qq, cc: fused_geodesic_topk(qq, cc, k,
-                                                           weights=w_np),
-                        mesh=mesh, in_specs=(P("data"), P()),
-                        out_specs=(P("data"), P("data")), check_vma=False,
-                    ))
-                d, i = _fused_sharded[0](q, corpus)
+                # already global since every chip scans the whole corpus
+                d, i = _sharded_fused_search(mesh, k, weighted)(q, corpus)
             elif mesh is not None:
                 # indivisible tail batch: XLA scan (same exact math)
                 d, i = geodesic_topk(q, corpus, k=k, weights=w,
