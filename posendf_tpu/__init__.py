@@ -13,7 +13,7 @@ kNN labeling, frame-sharded sequence optimization with halo exchange).
 
 from posendf_tpu import quat, kinematics
 from posendf_tpu.config import PoseNDFConfig, load_config
-from posendf_tpu.field import Field, make_field
+from posendf_tpu.field import Field, load_field, make_field
 from posendf_tpu.models import DFNet, PoseNDF, StructureEncoder
 
 __version__ = "0.1.0"
@@ -21,6 +21,6 @@ __version__ = "0.1.0"
 __all__ = [
     "quat", "kinematics",
     "PoseNDFConfig", "load_config",
-    "Field", "make_field",
+    "Field", "load_field", "make_field",
     "DFNet", "PoseNDF", "StructureEncoder",
 ]

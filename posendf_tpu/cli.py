@@ -36,23 +36,10 @@ def _load(args):
 
 
 def _load_params(cfg, ckpt_path):
-    import jax
-    import jax.numpy as jnp
+    from posendf_tpu.field import load_field
 
-    module = cfg.make_model()
-    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
-    if ckpt_path:
-        if ckpt_path.endswith(".tar"):
-            from posendf_tpu.training.torch_import import load_torch_checkpoint
-
-            params, _ = load_torch_checkpoint(ckpt_path)
-        else:
-            import flax.serialization as fser
-
-            with open(ckpt_path, "rb") as f:
-                payload = fser.from_bytes({"epoch": 0, "state": {"params": params}}, f.read())
-            params = payload["state"]["params"]
-    return module, params
+    field = load_field(ckpt_path, config=cfg)
+    return field.module, field.params
 
 
 def cmd_train(args):

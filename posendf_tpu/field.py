@@ -95,3 +95,46 @@ def distance_and_grad(module, params, pose: jax.Array) -> Tuple[jax.Array, jax.A
 
 def make_field(module, params) -> Field:
     return Field(module, params)
+
+
+def load_field(ckpt_path=None, config=None) -> Field:
+    """One-line entry point: checkpoint file -> ready :class:`Field`.
+
+    The switching path for a reference user (their flow:
+    ``torch.load('checkpoint_epoch_best.tar')`` into ``PoseNDF`` by hand,
+    ``model/train_posendf.py:47-56``):
+
+        field = posendf_tpu.load_field("checkpoint_epoch_best.tar")
+        d = field.distance(poses)            # or distance_and_grad, ...
+
+    ``ckpt_path``: the reference's torch ``.tar`` (loaded via the importer,
+    <=1e-8 parity) or this framework's ``.msgpack``; None gives a
+    fresh-initialized field. ``config``: a :class:`PoseNDFConfig`, a YAML
+    path, or None for the hyperparameters of record (``configs/amass.yaml``
+    == the reference defaults).
+    """
+    import os
+
+    from posendf_tpu.config import PoseNDFConfig, load_config
+
+    if config is None:
+        cfg = PoseNDFConfig()
+    elif isinstance(config, (str, os.PathLike)):
+        cfg = load_config(os.fspath(config))
+    else:
+        cfg = config
+    module = cfg.make_model()
+    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    if ckpt_path:
+        if str(ckpt_path).endswith(".tar"):
+            from posendf_tpu.training.torch_import import load_torch_checkpoint
+
+            params, _ = load_torch_checkpoint(str(ckpt_path))
+        else:
+            import flax.serialization as fser
+
+            with open(ckpt_path, "rb") as f:
+                payload = fser.from_bytes(
+                    {"epoch": 0, "state": {"params": params}}, f.read())
+            params = payload["state"]["params"]
+    return Field(module, params)

@@ -186,3 +186,49 @@ def test_checkpoint_restore_rejects_changed_model_shapes(tmp_path):
     # changed shapes: hard error naming the offending leaf
     with pytest.raises(ValueError, match="shape"):
         store.restore({"params": {"w": np.ones((8, 8), np.float32)}})
+
+
+def test_load_field_entry_point(tmp_path, rng):
+    """posendf_tpu.load_field: the one-line switching path — fresh init,
+    the reference's torch .tar, and this framework's .msgpack all produce a
+    working Field with matching distances."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import posendf_tpu
+    from posendf_tpu.training.torch_import import save_torch_checkpoint
+
+    q = rng.normal(size=(6, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q = jnp.asarray(q)
+
+    # fresh init, default config-of-record
+    field = posendf_tpu.load_field()
+    d0 = field.distance(q)
+    assert d0.shape == (6, 1) and bool(jnp.all(d0 >= 0))
+
+    # torch .tar round trip through load_field
+    tar = str(tmp_path / "ref.tar")
+    save_torch_checkpoint(tar, field.params, epoch=3)
+    field_tar = posendf_tpu.load_field(tar)
+    np.testing.assert_allclose(np.asarray(field_tar.distance(q)),
+                               np.asarray(d0), atol=1e-6)
+
+    # msgpack (the Trainer's checkpoint payload format)
+    import flax.serialization as fser
+
+    msg = str(tmp_path / "ckpt.msgpack")
+    with open(msg, "wb") as f:
+        f.write(fser.to_bytes({"epoch": 0, "state": {"params": field.params}}))
+    field_msg = posendf_tpu.load_field(msg)
+    np.testing.assert_allclose(np.asarray(field_msg.distance(q)),
+                               np.asarray(d0), atol=1e-6)
+
+    # config as a YAML path
+    cfg_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "amass.yaml")
+    field_cfg = posendf_tpu.load_field(tar, config=cfg_path)
+    np.testing.assert_allclose(np.asarray(field_cfg.distance(q)),
+                               np.asarray(d0), atol=1e-6)
