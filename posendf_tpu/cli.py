@@ -112,6 +112,12 @@ def cmd_generate(args):
     if args.steps > 0:
         print(f"projected {args.num_poses} poses, {args.steps} steps: "
               f"mean dist {float(hist[0].mean()):.6f} -> {float(hist[-1].mean()):.6f}")
+        if (float(jax.numpy.max(hist[0])) == 0.0
+                and module.activation in ("lrelu", "relu")):
+            print("WARNING: the field is identically zero on every input "
+                  "(untrained weights, or the lrelu/relu init coin flip — "
+                  "see dfnet.live_head); projection is a no-op. Load a "
+                  "trained checkpoint with --ckpt.")
     else:
         print(f"projected {args.num_poses} poses, 0 steps (passthrough)")
     if args.out:
