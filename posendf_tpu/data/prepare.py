@@ -30,6 +30,7 @@ restart-safe via the per-sequence skip guard.
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 from dataclasses import dataclass
@@ -236,24 +237,17 @@ def sample_noisy_queries(
 # stage 3: device-side labeling
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
 def _sharded_fused_search(mesh, k: int, weighted: bool):
-    """Module-cached jit(shard_map) single-kernel search for
+    """Cached jit(shard_map) single-kernel search for
     ``label_sequence(fused=True, mesh=...)``.
 
-    Cached on (mesh, k, weighted): rebuilding the jitted wrapper per
-    label_sequence call forces a retrace + executable fetch per sequence
-    (measured ~1 s/batch — 10x the kernel itself; inside one jit object the
-    shard_map'd kernel times IDENTICAL to the raw kernel, 79.9 vs 80.5 ms
-    at 4096x262k)."""
-    import functools
-
-    if not hasattr(_sharded_fused_search, "_cache"):
-        _sharded_fused_search._cache = {}
-    key = (mesh, k, weighted)
-    hit = _sharded_fused_search._cache.get(key)
-    if hit is not None:
-        return hit
-
+    Cached on (mesh, k, weighted), bounded so stale Mesh objects (and
+    their device handles) don't pin forever: rebuilding the jitted wrapper
+    per label_sequence call forces a retrace + executable fetch per
+    sequence (measured ~1 s/batch — 10x the kernel itself; inside one jit
+    object the shard_map'd kernel times IDENTICAL to the raw kernel,
+    79.9 vs 80.5 ms at 4096x262k)."""
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -264,13 +258,11 @@ def _sharded_fused_search(mesh, k: int, weighted: bool):
     if weighted:
         w_np = (np.asarray(SMPL_JOINT_RANK, np.float32)
                 / np.linalg.norm(SMPL_JOINT_RANK))
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         functools.partial(fused_geodesic_topk, k=k, weights=w_np),
         mesh=mesh, in_specs=(P("data"), P()),
         out_specs=(P("data"), P("data")), check_vma=False,
     ))
-    _sharded_fused_search._cache[key] = fn
-    return fn
 
 
 def _fk_joint_embedding(quats: np.ndarray, body_model, batch: int = 8192) -> np.ndarray:

@@ -31,13 +31,23 @@ __all__ = ["export_forward", "export_project", "save_artifact",
 _VERSION_KEY = b"POSENDF_TPU_EXPORT_V1\n"
 
 
-def _batch_spec(batch: Optional[int]) -> Tuple[jax.ShapeDtypeStruct, ...]:
+def _batch_spec(batch: Optional[int]) -> jax.ShapeDtypeStruct:
     """(b, 21, 4) pose spec; symbolic b when batch is None."""
     if batch is None:
         (b,) = jexport.symbolic_shape("b")
     else:
         b = batch
     return jax.ShapeDtypeStruct((b, 21, 4), jnp.float32)
+
+
+def _portable(module):
+    """The module with Pallas paths disabled: a ``strenc.fused: true``
+    config would otherwise bake a Mosaic custom call into the artifact —
+    jax.export refuses it on TPU (no compatibility guarantee) and it cannot
+    even trace on CPU. Params are identical either way."""
+    if getattr(module, "use_fused", False):
+        return module.clone(use_fused=False)
+    return module
 
 
 def export_forward(module, params, *, batch: Optional[int] = None,
@@ -48,6 +58,7 @@ def export_forward(module, params, *, batch: Optional[int] = None,
     batch size). ``platforms`` defaults to the current backend; pass e.g.
     ``("tpu", "cpu")`` for a multi-platform artifact.
     """
+    module = _portable(module)
     fn = jax.jit(lambda pose: module.apply({"params": params}, pose))
     return jexport.export(fn, platforms=platforms)(_batch_spec(batch))
 
@@ -63,6 +74,8 @@ def export_project(module, params, *, steps: int = 10,
     symbolic by default like :func:`export_forward`.
     """
     from posendf_tpu.projection import project
+
+    module = _portable(module)
 
     def fn(pose):
         out, hist = project(module, params, pose, steps=steps,

@@ -124,16 +124,41 @@ def load_field(ckpt_path=None, config=None) -> Field:
     else:
         cfg = config
     module = cfg.make_model()
-    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    # init through a non-Pallas clone: strenc.fused configs would run a
+    # Mosaic kernel inside init (crashes on CPU); the param tree is
+    # identical, and the returned Field keeps the requested fused module
+    init_mod = (module.clone(use_fused=False)
+                if getattr(module, "use_fused", False) else module)
+    params = init_mod.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
     if ckpt_path:
-        if str(ckpt_path).endswith(".tar"):
+        path = os.fspath(ckpt_path)
+        if path.endswith(".tar"):
             from posendf_tpu.training.torch_import import load_torch_checkpoint
 
-            params, _ = load_torch_checkpoint(str(ckpt_path))
+            params, _ = load_torch_checkpoint(path)
+        elif os.path.isdir(path):
+            # a CheckpointStore directory (the Trainer's rolling pair):
+            # msgpack files or an orbax store, auto-detected
+            from posendf_tpu.training.checkpoints import LATEST, CheckpointStore
+            from posendf_tpu.training.trainer import make_optimizer
+
+            backend = ("msgpack"
+                       if os.path.exists(os.path.join(path, LATEST))
+                       else "orbax")
+            opt_state = make_optimizer(
+                cfg.train.optimizer_param,
+                cfg.train.weight_decay).init(params)
+            restored = CheckpointStore(path, backend=backend).restore(
+                {"params": params, "opt_state": opt_state})
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no checkpoint found in directory {path!r} "
+                    f"(tried backend {backend!r})")
+            params = restored[0]["params"]
         else:
             import flax.serialization as fser
 
-            with open(ckpt_path, "rb") as f:
+            with open(path, "rb") as f:
                 payload = fser.from_bytes(
                     {"epoch": 0, "state": {"params": params}}, f.read())
             params = payload["state"]["params"]

@@ -48,13 +48,23 @@ def init_distributed(**kwargs) -> int:
     whole data, racing on the same checkpoint paths) is far worse than
     crashing at startup.
     """
+    # true idempotency: ask jax, don't parse exception strings (jax 0.9's
+    # double-init message is "distributed.initialize should only be called
+    # once.", NOT "already initialized")
+    try:
+        if jax.distributed.is_initialized():
+            return jax.process_index()
+    except AttributeError:
+        pass  # older jax: fall through to the message check below
     explicit = bool(kwargs)
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         # only a true double-initialization is ignorable; jaxlib runtime
         # errors (e.g. coordinator unreachable) subclass RuntimeError too
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             if explicit:
                 raise
             return 0  # auto-detect found no pod env: local-only mode

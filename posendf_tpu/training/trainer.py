@@ -60,9 +60,12 @@ def make_train_step(module, optimizer, *, loss_type: str,
     architecture. With ``mesh`` (a 'data' axis), the fused kernel runs
     per-chip under ``shard_map`` on the local batch shard and the loss/
     gradients are ``pmean``-combined over ICI — the same math as the SPMD
-    autodiff path's XLA-inserted all-reduce, but requires the global batch
-    to divide evenly over the mesh (mean-of-means == global mean only for
-    equal shards; the batcher always produces divisible batches)."""
+    autodiff path's XLA-inserted all-reduce, but requires EVERY batch to
+    divide evenly over the mesh (mean-of-means == global mean only for
+    equal shards). Note the batcher emits a short batch when the dataset
+    has fewer labeled files than batch_size — pick batch_size so that
+    n_files * num_pts stays divisible, or keep autodiff, whose jit
+    partitioner handles ragged shards."""
     if fused and (not module.use_encoder or module.ff_enc
                   or module.activation not in ("lrelu", "relu")):
         raise ValueError("fused train step requires the standard "

@@ -86,3 +86,46 @@ def test_cli_export_and_serve(tmp_path, capsys):
     d = loaded.call(q)
     assert d.shape == (3, 1)
     assert bool(jnp.all(d >= 0))
+
+
+def test_export_fused_config_is_portable(rng, tmp_path):
+    """A strenc.fused=true config (the flagship TPU serving setup) must
+    still export: the artifact is staged through the portable XLA path
+    (a Mosaic custom call cannot even trace on CPU and jax.export refuses
+    it on TPU), with identical math."""
+    from posendf_tpu.config import PoseNDFConfig
+
+    cfg = PoseNDFConfig()
+    cfg.dfnet.dims = [32, 48]
+    cfg.dfnet.act = "softplus"
+    cfg.strenc.act = "softplus"
+    cfg.strenc.fused = True
+    module = cfg.make_model()
+    assert module.use_fused
+    ref_module = module.clone(use_fused=False)
+    params = ref_module.init(jax.random.key(0),
+                             jnp.zeros((1, 21, 4)))["params"]
+    q = rng.normal(size=(8, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q = jnp.asarray(q)
+
+    exp = export_forward(module, params)
+    path = str(tmp_path / "fused_cfg.jaxexport")
+    save_artifact(exp, path)
+    loaded = load_artifact(path)
+    ref = np.asarray(ref_module.apply({"params": params}, q))
+    np.testing.assert_allclose(np.asarray(loaded.call(q)), ref, atol=1e-6)
+
+
+def test_load_field_fused_config_inits_on_cpu():
+    """load_field must build params for a strenc.fused config without
+    running the Pallas kernel (init through a non-fused clone)."""
+    import posendf_tpu
+    from posendf_tpu.config import PoseNDFConfig
+
+    cfg = PoseNDFConfig()
+    cfg.dfnet.dims = [16, 16]
+    cfg.strenc.fused = True
+    field = posendf_tpu.load_field(config=cfg)
+    assert field.module.use_fused  # serving path keeps the fused module
+    assert "enc" in field.params and "dfnet" in field.params
