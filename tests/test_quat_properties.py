@@ -13,7 +13,12 @@ from hypothesis import given, settings, strategies as st
 
 from posendf_tpu import quat
 
-settings.register_profile("ci", deadline=None, max_examples=25)
+# POSENDF_HYPOTHESIS_EXAMPLES=400 for a deep one-off fuzz sweep
+import os
+
+settings.register_profile(
+    "ci", deadline=None,
+    max_examples=int(os.environ.get("POSENDF_HYPOTHESIS_EXAMPLES", "25")))
 settings.load_profile("ci")
 
 
