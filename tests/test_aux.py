@@ -232,3 +232,46 @@ def test_load_field_entry_point(tmp_path, rng):
     field_cfg = posendf_tpu.load_field(tar, config=cfg_path)
     np.testing.assert_allclose(np.asarray(field_cfg.distance(q)),
                                np.asarray(d0), atol=1e-6)
+
+
+def test_load_field_from_checkpoint_directory(tmp_path, rng):
+    """load_field accepts a CheckpointStore DIRECTORY (the Trainer's rolling
+    pair), auto-detecting msgpack vs orbax — the framework's own checkpoints
+    must load through the advertised one-line entry point."""
+    import jax
+    import jax.numpy as jnp
+
+    import posendf_tpu
+    from posendf_tpu.config import PoseNDFConfig
+    from posendf_tpu.training.checkpoints import CheckpointStore
+    from posendf_tpu.training.trainer import make_optimizer
+
+    cfg = PoseNDFConfig()
+    cfg.dfnet.dims = [24, 24]
+    cfg.dfnet.act = "softplus"
+    cfg.strenc.act = "softplus"
+    module = cfg.make_model()
+    params = module.init(jax.random.key(3), jnp.zeros((1, 21, 4)))["params"]
+    # make the stored params distinguishable from a fresh init
+    params = jax.tree.map(lambda l: l + 0.25, params)
+    opt_state = make_optimizer(cfg.train.optimizer_param,
+                               cfg.train.weight_decay).init(params)
+
+    q = rng.normal(size=(5, 21, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    q = jnp.asarray(q)
+    ref = np.asarray(module.apply({"params": params}, q))
+
+    for backend in ("msgpack", "orbax"):
+        d = str(tmp_path / backend)
+        CheckpointStore(d, backend=backend).save(
+            {"params": params, "opt_state": opt_state}, epoch=2)
+        field = posendf_tpu.load_field(d, config=cfg)
+        np.testing.assert_allclose(np.asarray(field.distance(q)), ref,
+                                   atol=1e-6, err_msg=backend)
+
+    # an empty directory is a clear error, not IsADirectoryError
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        posendf_tpu.load_field(empty, config=cfg)
