@@ -442,10 +442,13 @@ def label_sequence(
             # exact single-stage geodesic top-k (weighted or not)
             d, i = geodesic_topk(q, corpus, k=k, weights=w,
                                  precision=precision)
-        dists.append(np.asarray(d))
-        idxs.append(np.asarray(i))
-    dist = np.concatenate(dists)
-    idx = np.concatenate(idxs)
+        # keep results ON DEVICE until every batch is dispatched: a
+        # per-batch np.asarray blocks on the relay round-trip and
+        # serializes dispatch against compute (results are (Q, k) — tiny)
+        dists.append(d)
+        idxs.append(i)
+    dist = np.concatenate([np.asarray(d) for d in dists])
+    idx = np.concatenate([np.asarray(i) for i in idxs])
     nn_pose = corpus_np[idx]  # (Q, k, 21, 4)
     return {"pose": queries, "dist": dist, "nn_pose": nn_pose}
 
