@@ -19,10 +19,25 @@ import numpy as np
 
 __all__ = ["available", "NativeNpz", "build"]
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native", "libposendf_io.so",
-)
+def _lib_path() -> str:
+    """Resolve libposendf_io.so: env override, repo layout (native/ next to
+    the package's parent — the development checkout), then inside the
+    installed package (pip wheels ship it as package data)."""
+    env = os.environ.get("POSENDF_NATIVE_LIB")
+    if env:
+        return env
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [
+        os.path.join(os.path.dirname(pkg_dir), "native", "libposendf_io.so"),
+        os.path.join(pkg_dir, "libposendf_io.so"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return candidates[0]
+
+
+_LIB_PATH = _lib_path()
 _lib = None
 _lib_lock = threading.Lock()
 

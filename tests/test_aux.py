@@ -275,3 +275,21 @@ def test_load_field_from_checkpoint_directory(tmp_path, rng):
     os.makedirs(empty)
     with pytest.raises(FileNotFoundError, match="no checkpoint"):
         posendf_tpu.load_field(empty, config=cfg)
+
+
+def test_packaging_entry_point():
+    """pyproject.toml ships a console script that resolves to the real CLI
+    (the framework is pip-installable; reference surface: clone-only,
+    INSTALL.md:14-31)."""
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    target = meta["project"]["scripts"]["posendf"]
+    mod_name, func_name = target.split(":")
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+    assert callable(getattr(mod, func_name))
+    assert meta["project"]["name"] == "posendf-tpu"
