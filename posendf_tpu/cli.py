@@ -214,6 +214,10 @@ def cmd_prepare_data(args):
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="posendf_tpu", description=__doc__)
+    from posendf_tpu import __version__
+
+    ap.add_argument("--version", action="version",
+                    version=f"posendf-tpu {__version__}")
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("train", help="train the distance field")

@@ -99,3 +99,13 @@ def test_denoise_bench_synthesized(tmp_path, capsys):
     assert "mean v2v" in out
     with np.load(tmp_path / "table.npz") as z:
         assert len(z.files) == 4  # the four grid levels
+
+
+def test_cli_version(capsys):
+    from posendf_tpu import __version__
+    from posendf_tpu.cli import build_parser
+
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
