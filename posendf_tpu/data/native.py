@@ -22,7 +22,8 @@ __all__ = ["available", "NativeNpz", "build"]
 def _lib_path() -> str:
     """Resolve libposendf_io.so: env override, repo layout (native/ next to
     the package's parent — the development checkout), then inside the
-    installed package (pip wheels ship it as package data)."""
+    installed package (build.sh copies the .so into posendf_tpu/ so wheels
+    built afterwards ship it as package data)."""
     env = os.environ.get("POSENDF_NATIVE_LIB")
     if env:
         return env

@@ -67,8 +67,12 @@ class TrainingBatcher:
         man_poses (the upstream bug, load_data.py:63); 'corrected' flips
         the real manifold draws.
       seed: RNG seed; per-epoch reseeding is derived from it.
-      file_glob: pattern under data_dir (reference uses ``*/*000.npz``,
-        i.e. only fully-labeled sequence shards; default here is ``*/*.npz``).
+      file_glob: pattern under data_dir. Default None = the reference's
+        ``*/*000.npz`` filter (only ``000``-suffixed labeled shards,
+        ``model/load_data.py:28``); if that matches NOTHING the default
+        falls back to ``*/*.npz`` with a warning (labeled files produced by
+        this repo's own ``prepare-data`` keep their AMASS basenames). An
+        explicit glob is used verbatim, no fallback.
     """
 
     def __init__(
@@ -81,16 +85,36 @@ class TrainingBatcher:
         flip: bool = False,
         flip_mode: str = "reference",
         seed: int = 0,
-        file_glob: str = "*/*.npz",
+        file_glob: Optional[str] = None,
         subsets: Optional[Sequence[str]] = None,
         backend: str = "auto",
         native_threads: int = 4,
     ):
         subsets = list(subsets) if subsets is not None else AMASS_SPLITS[split]
-        labeled = [
-            f for f in sorted(glob.glob(os.path.join(data_dir, file_glob)))
-            if os.path.basename(os.path.dirname(f)) in subsets
-        ]
+
+        def _labeled(pattern: str) -> List[str]:
+            return [
+                f for f in sorted(glob.glob(os.path.join(data_dir, pattern)))
+                if os.path.basename(os.path.dirname(f)) in subsets
+            ]
+
+        if file_glob is None:
+            # reference default (model/load_data.py:28): only 000-suffixed
+            # labeled shards; in a mixed directory the other shards are
+            # deliberately ignored, exactly like upstream
+            labeled = _labeled("*/*000.npz")
+            if not labeled:
+                import warnings
+
+                labeled = _labeled("*/*.npz")
+                if labeled:
+                    warnings.warn(
+                        "no */*000.npz labeled shards (the reference's "
+                        "training-file filter) — falling back to */*.npz; "
+                        "pass file_glob explicitly to silence",
+                        stacklevel=2)
+        else:
+            labeled = _labeled(file_glob)
         manifold = [
             f for f in sorted(glob.glob(os.path.join(amass_dir, "*/*.npz")))
             if os.path.basename(os.path.dirname(f)) in subsets

@@ -14,7 +14,7 @@ __all__ = ["AMASS_SPLITS"]
 AMASS_SPLITS: Dict[str, List[str]] = {
     "train": [
         "ACCAD", "BMLhandball", "BMLmovi", "BioMotionLab_NTroje", "CMU",
-        "DFaust_67", "EKUT", "Eyes_Japan_Dataset", "KIT", "MPI_Limits",
+        "EKUT", "Eyes_Japan_Dataset", "KIT", "MPI_Limits", "TCD_handMocap",
         "TotalCapture",
     ],
     "vald": ["HumanEva", "MPI_HDM05", "SFU", "MPI_mosh"],

@@ -123,7 +123,10 @@ def write_synthetic_dataset(
             d = _geodesic(noisy[:, None], corpus_all[None])  # (Q, N)
             nn = np.sort(d, axis=1)[:, :k]
             np.savez(
-                os.path.join(labeled_dir, subset, f"seq{s:02d}.npz"),
+                # the `_000` suffix mirrors the reference's labeled-shard
+                # naming so the training reader's default `*/*000.npz`
+                # filter (model/load_data.py:28) matches out of the box
+                os.path.join(labeled_dir, subset, f"seq{s:02d}_000.npz"),
                 pose=noisy.astype(np.float32),
                 dist=nn.astype(np.float32),
             )

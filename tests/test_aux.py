@@ -281,7 +281,7 @@ def test_packaging_entry_point():
     """pyproject.toml ships a console script that resolves to the real CLI
     (the framework is pip-installable; reference surface: clone-only,
     INSTALL.md:14-31)."""
-    import tomllib
+    tomllib = pytest.importorskip("tomllib")  # stdlib only on >= 3.11
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "pyproject.toml"), "rb") as f:

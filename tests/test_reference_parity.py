@@ -275,3 +275,25 @@ def test_euclidean_metric_parity_vs_reference_source(reference, rng):
     np.testing.assert_allclose(np.asarray(-vals), val_ref.numpy(),
                                atol=1e-6, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), idx_ref.numpy())
+
+
+def test_amass_split_registry_parity_vs_reference_source():
+    """AMASS_SPLITS matches the reference registry set-for-set.
+
+    The reference (data/data_splits.py:2-10) declares the split dict then
+    rewrites ``train`` as the set-difference against test+vald; parity is on
+    the POST-difference sets.  Round-2 regression guard: the train list once
+    swapped TCD_handMocap for DFaust_67.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_data_splits", f"{REFERENCE_ROOT}/data/data_splits.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from posendf_tpu.data.splits import AMASS_SPLITS
+
+    assert set(AMASS_SPLITS) == set(ref.amass_splits)
+    for split in ref.amass_splits:
+        assert set(AMASS_SPLITS[split]) == set(ref.amass_splits[split]), split

@@ -301,3 +301,37 @@ def test_live_head_trains_where_default_stalls(dataset, tmp_path):
         last = trainer.train_epoch(iter(batches))
     assert np.isfinite(last["total"])
     assert last["total"] < first["total"]
+
+
+def test_default_file_glob_matches_reference_filter(tmp_path):
+    """Default labeled-file filter is the reference's `*/*000.npz`
+    (model/load_data.py:28): in a mixed directory only 000-suffixed shards
+    train; an explicit `*/*.npz` sees everything; and when NO 000 shard
+    exists the default falls back (with a warning) instead of erroring."""
+    rng = np.random.default_rng(0)
+    amass = tmp_path / "amass" / "ACCAD"
+    amass.mkdir(parents=True)
+    np.savez(amass / "clean.npz",
+             pose=rng.normal(size=(16, 21, 4)).astype(np.float32))
+    labeled = tmp_path / "labeled" / "ACCAD"
+    labeled.mkdir(parents=True)
+    for name in ("seqA_000.npz", "seqA_001.npz", "seqB_000.npz"):
+        np.savez(labeled / name,
+                 pose=rng.normal(size=(8, 21, 4)).astype(np.float32),
+                 dist=rng.random(size=(8, 5)).astype(np.float32))
+
+    b = TrainingBatcher(str(tmp_path / "labeled"), str(tmp_path / "amass"),
+                        batch_size=1, num_pts=4)
+    assert sorted(os.path.basename(f) for f in b.files.labeled) == [
+        "seqA_000.npz", "seqB_000.npz"]
+
+    b_all = TrainingBatcher(str(tmp_path / "labeled"), str(tmp_path / "amass"),
+                            batch_size=1, num_pts=4, file_glob="*/*.npz")
+    assert len(b_all.files.labeled) == 3
+
+    os.remove(labeled / "seqA_000.npz")
+    os.remove(labeled / "seqB_000.npz")
+    with pytest.warns(UserWarning, match="000.npz"):
+        b_fb = TrainingBatcher(str(tmp_path / "labeled"),
+                               str(tmp_path / "amass"), batch_size=1, num_pts=4)
+    assert [os.path.basename(f) for f in b_fb.files.labeled] == ["seqA_001.npz"]
