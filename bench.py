@@ -17,10 +17,19 @@ synchronization.
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 from functools import partial
 
 import numpy as np
+
+
+def _section_failed(name: str) -> None:
+    """Sections degrade to null metrics rather than killing the bench, but
+    the cause must land on stderr (stdout carries exactly one JSON line)."""
+    print(f"[bench] section '{name}' failed:", file=sys.stderr)
+    traceback.print_exc(file=sys.stderr)
 
 
 def main():
@@ -116,6 +125,7 @@ def main():
         t_hi_w = timed(lambda: wm_loop(params, pose, hi))
         evals_wm = B / ((t_hi_w - t_lo_w) / (hi - lo))
     except Exception:
+        _section_failed('whole_model_kernel')
         evals_wm = None
 
     evals_per_sec = max(evals_enc, evals_wm or 0.0)
@@ -167,6 +177,7 @@ def main():
         float(pf_jit())  # compile
         proj_fused_s = timed(pf_jit)
     except Exception:
+        _section_failed('projection_fused')
         proj_fused_s = None
 
     # ---------- value-and-grad throughput at serving batch (131k) ----------
@@ -196,6 +207,7 @@ def main():
         # (XLA's cost model can't see inside the Pallas kernel)
         vag_mfu_pct = vag_fused * 2.0 * fwd_flops_per_pose / PEAK_FLOPS * 100
     except Exception:
+        _section_failed('value_and_grad')
         vag_fused = None
         vag_mfu_pct = None
 
@@ -223,6 +235,7 @@ def main():
         t_hi2 = timed(lambda: bf16_loop(params, pose2, hi))
         bf16_evals = B2 / ((t_hi2 - t_lo2) / (hi - lo))
     except Exception:
+        _section_failed('bf16_forward')
         bf16_evals = None
 
     # ---------- training step throughput (reference config: 20k poses) ----
@@ -271,16 +284,24 @@ def main():
 
         train_ms = time_train_step(tstep, tbatch)
         try:
+            # objective-gradient FLOPs from XLA's own cost model of the
+            # autodiff step — the "useful work" numerator for BOTH paths
+            # (the fused kernel computes the identical math; chain of
+            # custody in ops/fused_train.py)
             ca = jax.jit(tstep).lower(tparams, topt, tbatch) \
                 .compile().cost_analysis()
             ca = ca[0] if isinstance(ca, list) else ca
-            train_mfu_pct = (float(ca["flops"]) / (train_ms * 1e-3)
-                             / PEAK_FLOPS * 100)
+            train_flops = float(ca["flops"])
+            train_autodiff_mfu_pct = (train_flops / (train_ms * 1e-3)
+                                      / PEAK_FLOPS * 100)
         except Exception:
-            train_mfu_pct = None
+            train_flops = None
+            train_autodiff_mfu_pct = None
     except Exception:
+        _section_failed('train_autodiff')
         train_ms = None
-        train_mfu_pct = None
+        train_flops = None
+        train_autodiff_mfu_pct = None
 
     # ---------- fused train-gradient kernel (ops/fused_train.py) ----------
     # same 20k-batch step with loss + dL/dparams computed in two Pallas
@@ -293,7 +314,17 @@ def main():
                                                "eikonal": 1.0}, fused=True)
             train_fused_ms = time_train_step(tstep_f, tbatch)
         except Exception:
+            _section_failed('train_fused')
             train_fused_ms = None
+    train_fused_mfu_pct = (
+        train_flops / (train_fused_ms * 1e-3) / PEAK_FLOPS * 100
+        if train_fused_ms and train_flops else None)
+    # flagship training MFU = the best available step implementation (the
+    # fused Pallas kernel on TPU; autodiff elsewhere) against the same
+    # useful-FLOPs numerator
+    train_mfu_pct = max(
+        (m for m in (train_autodiff_mfu_pct, train_fused_mfu_pct)
+         if m is not None), default=None)
 
     # fused train step at 65k poses — the fused sweet spot: autodiff is
     # bandwidth-walled past 20k (eikonal activations spill to HBM) while
@@ -309,6 +340,7 @@ def main():
             }
             train_fused_65k_ms = time_train_step(tstep_f, tb65)
         except Exception:
+            _section_failed('train_fused_65k')
             train_fused_65k_ms = None
 
     # ---------- serving-batch fused projection (131k x 50 steps) ----------
@@ -322,6 +354,7 @@ def main():
         float(pb_jit())
         proj_big_s = timed(pb_jit)
     except Exception:
+        _section_failed('projection_131k')
         proj_big_s = None
 
     # ---------- kNN labeling throughput (the faiss replacement) -----------
@@ -343,6 +376,7 @@ def main():
         knn_s = timed(lambda: knn_once(queries, corpus))
         knn_qps = queries.shape[0] / knn_s
     except Exception:
+        _section_failed('knn_262k')
         knn_qps = None
 
     # same search through the fused Pallas kernel (distance + top-k merge in
@@ -360,6 +394,7 @@ def main():
         knn_fused_s = timed(knn_fused_once)
         knn_fused_qps = queries.shape[0] / knn_fused_s
     except Exception:
+        _section_failed('knn_fused')
         knn_fused_qps = None
 
     # ---------- mesh-sharded labeling (the Slurm-fan-out replacement) ------
@@ -390,7 +425,123 @@ def main():
                        rng=np.random.default_rng(1))
         knn_sharded_qps = nq / (time.perf_counter() - t0)
     except Exception:
+        _section_failed('knn_sharded')
         knn_sharded_qps = None
+
+    # ---------- kNN at AMASS scale (1M-row corpus, VERDICT r2 #4) ---------
+    # the real labeling corpus is 10^6-10^7 rows (SURVEY §2.2); qps scales
+    # ~1/N so the 262k number above cannot be extrapolated blindly. Corpus
+    # is GENERATED on device (336 MB host->device through the ~10 MB/s relay
+    # would take ~35 s and measure nothing).
+    knn_1m_qps = None
+    knn_1m_exact_qps = None
+    try:
+        from posendf_tpu.ops.fused_knn import fused_geodesic_topk
+
+        N1 = 1 << 20
+        c1 = jax.random.normal(jax.random.key(11), (N1, 21, 4), jnp.float32)
+        corpus_1m = c1 / jnp.linalg.norm(c1, axis=-1, keepdims=True)
+
+        @jax.jit
+        def knn_1m_once(q, c):
+            d, idx = fused_geodesic_topk(q, c, 5)
+            return jnp.sum(d) + idx[0, 0]
+
+        float(knn_1m_once(queries, corpus_1m))  # compile
+        knn_1m_s = timed(lambda: float(knn_1m_once(queries, corpus_1m)))
+        knn_1m_qps = queries.shape[0] / knn_1m_s
+
+        @jax.jit
+        def knn_1m_exact_once(q, c):
+            d, idx = geodesic_topk(q, c, k=5)
+            return jnp.sum(d) + idx[0, 0]
+
+        float(knn_1m_exact_once(queries, corpus_1m))
+        knn_1m_exact_s = timed(
+            lambda: float(knn_1m_exact_once(queries, corpus_1m)))
+        knn_1m_exact_qps = queries.shape[0] / knn_1m_exact_s
+        del c1, corpus_1m
+    except Exception:
+        _section_failed('knn_1m')
+        knn_1m_qps = None
+        knn_1m_exact_qps = None
+
+    # ---------- end-to-end training throughput: npz -> update -------------
+    # VERDICT r2 #2: everything upstream of the step — native/numpy batch
+    # assembly, host->device transfer, prefetch overlap — measured as
+    # sustained poses/s over full epochs of the reference batch recipe
+    # (4 files x 5000 rows = 20k poses/step, model/load_data.py:76-85).
+    # NOTE the relay artifact: each 20k-pose batch is ~13.5 MB of H2D
+    # traffic; this environment's relay moves ~8-10 MB/s, so the e2e number
+    # here is transfer-bound by the harness, not by the design (the
+    # host-assembly rate and the device step time bracket what real
+    # locally-attached HBM would sustain).
+    train_e2e_pps = None
+    train_e2e_host_pps = None
+    try:
+        import tempfile
+
+        from posendf_tpu.data.pipeline import TrainingBatcher, prefetch_to_device
+
+        tstep_best = (tstep_f if train_fused_ms is not None
+                      and train_fused_ms < train_ms else tstep)
+        with tempfile.TemporaryDirectory() as td:
+            lab_dir = os.path.join(td, "labeled")
+            am_dir = os.path.join(td, "amass")
+            rng3 = np.random.default_rng(3)
+            rows = 20_000
+            for subset in ("ACCAD", "CMU"):
+                os.makedirs(os.path.join(lab_dir, subset))
+                os.makedirs(os.path.join(am_dir, subset))
+                for s in range(8):
+                    p = rng3.random((rows, 21, 4)).astype(np.float32)
+                    p /= np.linalg.norm(p, axis=-1, keepdims=True)
+                    np.savez(os.path.join(lab_dir, subset,
+                                          f"seq{s:02d}_000.npz"),
+                             pose=p,
+                             dist=rng3.random((rows, 5)).astype(np.float32))
+                    m = rng3.random((rows, 21, 4)).astype(np.float32)
+                    m /= np.linalg.norm(m, axis=-1, keepdims=True)
+                    np.savez(os.path.join(am_dir, subset, f"seq{s:02d}.npz"),
+                             pose=m)
+            batcher = TrainingBatcher(lab_dir, am_dir, batch_size=4,
+                                      num_pts=5000, seed=0)
+
+            # host assembly alone (native C++ loader if built)
+            batcher.sample_batch()  # warm mmaps/caches
+            t0 = time.perf_counter()
+            n_host = 8
+            for _ in range(n_host):
+                b = batcher.sample_batch()
+            train_e2e_host_pps = (n_host * b["pose"].shape[0]
+                                  / (time.perf_counter() - t0))
+
+            def run_epochs(first_epoch, n_epochs):
+                nonlocal tp, ts
+                n = 0
+                for e in range(first_epoch, first_epoch + n_epochs):
+                    for batch in prefetch_to_device(batcher.epoch(e)):
+                        tp, ts, _ = step_jit(tp, ts, batch)
+                        n += batch["pose"].shape[0]
+                # scalar readback = hard sync through the relay
+                float(jnp.sum(jax.tree_util.tree_leaves(tp)[0]))
+                return n
+
+            step_jit = jax.jit(tstep_best, donate_argnums=(0, 1))
+            # fresh buffers: tparams SHARES leaves with `params` (shallow
+            # dict copy above) and device_put of an on-device array is a
+            # no-op — donating those would invalidate `params` for every
+            # later section (this nulled the denoise bench once)
+            tp = jax.tree.map(jnp.copy, tparams)
+            ts = opt.init(tp)
+            run_epochs(0, 1)  # compile + warm
+            t0 = time.perf_counter()
+            n_poses = run_epochs(1, 2)  # 8 steps of 20k poses
+            train_e2e_pps = n_poses / (time.perf_counter() - t0)
+    except Exception:
+        _section_failed('train_e2e')
+        train_e2e_pps = None
+        train_e2e_host_pps = None
 
     # ---------- motion-denoise solve (the reference quality benchmark) ----
     # full 10x50-step annealed-Adam solve of a 60-frame clip (SMPL FK + NDF
@@ -412,6 +563,7 @@ def main():
 
         denoise_s = timed(den_run)
     except Exception:
+        _section_failed('denoise')
         denoise_s = None
 
     target = 1_000_000.0
@@ -453,6 +605,14 @@ def main():
                 round(knn_fused_qps, 1) if knn_fused_qps else None,
             "knn_sharded_qps":
                 round(knn_sharded_qps, 1) if knn_sharded_qps else None,
+            "knn_fused_1m_corpus_qps":
+                round(knn_1m_qps, 1) if knn_1m_qps else None,
+            "knn_exact_1m_corpus_qps":
+                round(knn_1m_exact_qps, 1) if knn_1m_exact_qps else None,
+            "train_e2e_poses_per_sec":
+                round(train_e2e_pps, 1) if train_e2e_pps else None,
+            "train_e2e_host_assembly_poses_per_sec":
+                round(train_e2e_host_pps, 1) if train_e2e_host_pps else None,
             "denoise_500step_60frame_s":
                 round(denoise_s, 4) if denoise_s else None,
             # hardware-ceiling view (v5e: 197 TFLOP/s, 819 GB/s)
@@ -461,6 +621,12 @@ def main():
             "vag_mfu_pct": round(vag_mfu_pct, 1) if vag_mfu_pct else None,
             "train_mfu_pct":
                 round(train_mfu_pct, 1) if train_mfu_pct else None,
+            "train_autodiff_mfu_pct":
+                round(train_autodiff_mfu_pct, 1)
+                if train_autodiff_mfu_pct else None,
+            "train_fused_mfu_pct":
+                round(train_fused_mfu_pct, 1)
+                if train_fused_mfu_pct else None,
         },
     }))
 

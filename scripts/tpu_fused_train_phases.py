@@ -114,7 +114,9 @@ def main():
     fused_step = make_train_step(module, opt, loss_type="l1", weights=w,
                                  fused=True, fused_tile=TILE)
 
-    for B in (20_000, 65_536, 131_072):
+    batches = (tuple(int(a) for a in sys.argv[1:])
+               or (20_000, 65_536, 131_072))
+    for B in batches:
         kq, km, kd = jax.random.split(jax.random.key(B), 3)
         q = jax.random.normal(kq, (B, 21, 4))
         q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
