@@ -435,6 +435,7 @@ def main():
     # would take ~35 s and measure nothing).
     knn_1m_qps = None
     knn_1m_exact_qps = None
+    knn_1m_bf16_qps = None
     try:
         from posendf_tpu.ops.fused_knn import fused_geodesic_topk
 
@@ -450,6 +451,22 @@ def main():
         float(knn_1m_once(queries, corpus_1m))  # compile
         knn_1m_s = timed(lambda: float(knn_1m_once(queries, corpus_1m)))
         knn_1m_qps = queries.shape[0] / knn_1m_s
+
+        # approximate fast mode: per-joint dots on the MXU (single-pass
+        # bf16) — what label_sequence(precision='default') uses
+        @jax.jit
+        def knn_1m_bf16_once(q, c):
+            d, idx = fused_geodesic_topk(q, c, 5, dot_impl="mxu_bf16")
+            return jnp.sum(d) + idx[0, 0]
+
+        try:
+            float(knn_1m_bf16_once(queries, corpus_1m))
+            knn_1m_bf16_s = timed(
+                lambda: float(knn_1m_bf16_once(queries, corpus_1m)))
+            knn_1m_bf16_qps = queries.shape[0] / knn_1m_bf16_s
+        except Exception:
+            _section_failed('knn_1m_bf16')
+            knn_1m_bf16_qps = None
 
         @jax.jit
         def knn_1m_exact_once(q, c):
@@ -609,6 +626,8 @@ def main():
                 round(knn_1m_qps, 1) if knn_1m_qps else None,
             "knn_exact_1m_corpus_qps":
                 round(knn_1m_exact_qps, 1) if knn_1m_exact_qps else None,
+            "knn_fused_1m_bf16_mxu_qps":
+                round(knn_1m_bf16_qps, 1) if knn_1m_bf16_qps else None,
             "train_e2e_poses_per_sec":
                 round(train_e2e_pps, 1) if train_e2e_pps else None,
             "train_e2e_host_assembly_poses_per_sec":

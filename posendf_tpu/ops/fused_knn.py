@@ -20,6 +20,17 @@ passes), ascending top-k with lowest-index-first tie handling within a
 tile. Cross-tile exact ties may order differently from ``lax.top_k`` (both
 orders are valid top-k sets).
 
+``dot_impl`` selects the distance-tile engine (measured, Q=4096, v5e):
+'vpu' (default) — exact fp32, 38.7k qps @262k / 11.9k @1M;
+'mxu_bf16' — the 21 per-joint (TQ,4)@(4,TT) dots as single-pass bf16
+systolic ops, 61.0k / 21.2k qps (1.6-1.8x) with ~1e-3 distance noise that
+swaps near-tie neighbors (~95% of top-5 sets identical on random corpora)
+— the fused analog of default-precision einsum labeling, and what
+``label_sequence(precision='default')`` uses;
+'mxu' — HIGHEST-precision stacked-bf16 dots: ~1e-7 of fp32 but SLOWER
+than the VPU path (17.4k / 4.8k qps — the pass stacking wastes the K=4
+contraction), kept for the record.
+
 Layout notes (Mosaic): queries ride the SUBLANES of the (TILE_Q, TILE_T)
 distance tile and the corpus tile rides the LANES, so the corpus operand is
 passed pre-transposed as (84, N) — per-(joint, dim) rows are cheap sublane
@@ -47,7 +58,7 @@ _IBIG = 2**31 - 1
 
 
 def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
-                num_joints, k, tile_t, n_corpus, weights):
+                num_joints, k, tile_t, n_corpus, weights, dot_impl):
     """One (query-tile, corpus-tile) grid step.
 
     q_ref: (TILE_Q, 4J) queries; c_ref: (4J, TILE_T) corpus slab;
@@ -65,15 +76,35 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
 
     # ---- distance tile: mean_j (1 - |sum_d q_jd * c_jd|), all in VMEM
     geo = None
-    for joint in range(num_joints):
-        acc = None
-        for d in range(4):
-            r = joint * 4 + d
-            term = q_ref[:, r:r + 1] * c_ref[r:r + 1, :]   # (TQ,1)x(1,TT)
-            acc = term if acc is None else acc + term
-        pj = 1.0 - jnp.abs(acc)
-        w = 1.0 / num_joints if weights is None else float(weights[joint])
-        geo = w * pj if geo is None else geo + w * pj      # (TQ, TT)
+    if dot_impl == "vpu":
+        # exact fp32: 84 broadcast-FMA passes on the VPU (the default —
+        # the neighbor-identity contract needs unstacked fp32 dots)
+        for joint in range(num_joints):
+            acc = None
+            for d in range(4):
+                r = joint * 4 + d
+                term = q_ref[:, r:r + 1] * c_ref[r:r + 1, :]  # (TQ,1)x(1,TT)
+                acc = term if acc is None else acc + term
+            pj = 1.0 - jnp.abs(acc)
+            w = 1.0 / num_joints if weights is None else float(weights[joint])
+            geo = w * pj if geo is None else geo + w * pj     # (TQ, TT)
+    else:
+        # per-joint (TQ,4)@(4,TT) dots on the MXU: replaces the 84 VPU
+        # passes above with 21 systolic passes + 42 elementwise ones.
+        # 'mxu' stacks bf16 passes (HIGHEST, ~1e-7 vs fp32); 'mxu_bf16'
+        # is the single-pass approximate mode (~1e-3, like default-
+        # precision einsum labeling)
+        prec = (jax.lax.Precision.HIGHEST if dot_impl == "mxu"
+                else jax.lax.Precision.DEFAULT)
+        for joint in range(num_joints):
+            r = joint * 4
+            d = jax.lax.dot_general(
+                q_ref[:, r:r + 4], c_ref[r:r + 4, :],
+                (((1,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32)
+            pj = 1.0 - jnp.abs(d)
+            w = 1.0 / num_joints if weights is None else float(weights[joint])
+            geo = w * pj if geo is None else geo + w * pj     # (TQ, TT)
 
     col = j * tile_t + jax.lax.broadcasted_iota(jnp.int32, geo.shape, 1)
     # mask padded corpus rows (only the last slab has any, but the where is
@@ -112,16 +143,16 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_t",
                                              "weights", "interpret",
-                                             "n_corpus"))
+                                             "n_corpus", "dot_impl"))
 def _fused_topk(queries_flat, corpus_t, k, tile_q, tile_t, weights,
-                interpret, n_corpus):
+                interpret, n_corpus, dot_impl):
     Qp = queries_flat.shape[0]
     JD = queries_flat.shape[1]
     Np = corpus_t.shape[1]
     grid = (Qp // tile_q, Np // tile_t)
     kernel = functools.partial(
         _knn_kernel, num_joints=JD // 4, k=k, tile_t=tile_t,
-        n_corpus=n_corpus, weights=weights)
+        n_corpus=n_corpus, weights=weights, dot_impl=dot_impl)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -159,6 +190,7 @@ def fused_geodesic_topk(
     weights: Optional[np.ndarray] = None,  # (J,) host-side joint weights
     tile_q: int = 256,
     tile_t: int = 2048,
+    dot_impl: str = "vpu",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact geodesic top-k, single fused kernel. Returns (dists (Q, k),
@@ -193,6 +225,8 @@ def fused_geodesic_topk(
         ct = jnp.concatenate(
             [ct, jnp.zeros((J * four, pad_n), jnp.float32)], axis=1)
 
+    if dot_impl not in ("vpu", "mxu", "mxu_bf16"):
+        raise ValueError(f"dot_impl must be vpu|mxu|mxu_bf16, got {dot_impl!r}")
     dists, idx = _fused_topk(qf, ct, k, tile_q, tile_t, weights,
-                             interpret, N)
+                             interpret, N, dot_impl)
     return dists[:Q], idx[:Q]

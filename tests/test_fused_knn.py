@@ -46,6 +46,21 @@ def test_fused_weighted(rng):
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+@pytest.mark.parametrize("impl", ["mxu", "mxu_bf16"])
+def test_fused_mxu_dots_match_xla(rng, impl):
+    """The MXU dot modes compute the same math (interpret mode runs the
+    dots in fp32, so agreement is exact here; on-chip precision deltas are
+    measured by scripts/tpu_knn_mxu_ab.py and documented in
+    ARCHITECTURE)."""
+    q = jnp.asarray(_quats(rng, 64))
+    c = jnp.asarray(_quats(rng, 700))
+    d_ref, i_ref = geodesic_topk(q, c, 5)
+    d, i = fused_geodesic_topk(q, c, 5, tile_q=16, tile_t=256,
+                               dot_impl=impl, interpret=True)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
 def test_fused_validates_inputs(rng):
     q = jnp.asarray(_quats(rng, 4))
     c = jnp.asarray(_quats(rng, 16))
@@ -72,6 +87,27 @@ def test_label_sequence_fused_wiring(rng):
                          rng=np.random.default_rng(7), **kw)
     with pltpu.force_tpu_interpret_mode():
         out = label_sequence(seq, corpus, fused=True,
+                             rng=np.random.default_rng(7), **kw)
+    np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
+    np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
+
+
+def test_label_sequence_fused_default_precision_wiring(rng):
+    """precision='default' keeps the fused path eligible and routes it to
+    the MXU-bf16 dot mode (exact in interpret mode, so labels still match
+    the XLA reference here; the on-chip ~1e-3 delta is measured in
+    scripts/tpu_knn_mxu_ab.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from posendf_tpu.data.prepare import label_sequence
+
+    corpus = jnp.asarray(_quats(rng, 300))
+    seq = _quats(rng, 20)
+    kw = dict(num_queries=32, k=4, query_batch=16)
+    ref = label_sequence(seq, corpus, fused=False, precision="highest",
+                         rng=np.random.default_rng(7), **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out = label_sequence(seq, corpus, fused=True, precision="default",
                              rng=np.random.default_rng(7), **kw)
     np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
     np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
