@@ -1,0 +1,53 @@
+"""Plumbing test for scripts/quality_grid.py — the synthetic end-to-end
+reproduction of the reference's headline denoise benchmark
+(/root/reference/experiments/motion_denoise.py:171-191).
+
+A micro-sized run must traverse every stage (label -> train -> field eval ->
+denoise grid) and emit a well-formed result JSON. Quality itself is NOT
+asserted here (the micro budget can't train a real field; the measured grid
+lives in docs/ARCHITECTURE.md) — this guards the harness so the recorded
+numbers stay reproducible.
+
+Runs in a subprocess: the script manages its own jax platform/config, which
+must not leak into this process's 8-virtual-device CPU backend.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "quality_grid.py")
+
+
+def test_quality_grid_micro(tmp_path):
+    out = tmp_path / "qg.json"
+    cmd = [
+        sys.executable, SCRIPT, "--preset", "smoke", "--device", "cpu",
+        "--corpus", "512", "--queries", "1024", "--steps", "30",
+        "--batch", "256", "--clips", "1", "--frames", "6",
+        "--sigmas", "0.1", "--out", str(out),
+    ]
+    env = dict(os.environ)
+    # the script forces the CPU backend itself (smoke preset); keep the
+    # subprocess from inheriting this suite's forced 8-device flag wholesale
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+
+    result = json.loads(out.read_text())
+    assert result["corpus"] == 512 and result["queries"] == 1024
+    # every stage produced a finite measurement
+    assert np.isfinite(result["label_s"]) and result["label_s"] > 0
+    assert np.isfinite(result["train_s"]) and result["train_s"] > 0
+    assert np.isfinite(result["field_mae"])
+    assert 0.0 <= result["field_live_frac"] <= 1.0
+    (row,) = result["grid"]
+    assert row["sigma"] == 0.1
+    assert np.isfinite(row["v2v_input_cm"]) and row["v2v_input_cm"] > 0
+    assert np.isfinite(row["v2v_out_cm"]) and row["v2v_out_cm"] > 0
+    assert np.isfinite(row["final_pose_pr"])
