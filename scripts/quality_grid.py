@@ -72,7 +72,38 @@ def main():
                          "reference's shared-per-group draw")
     ap.add_argument("--specs", choices=("reference", "balanced"),
                     default="reference")
-    ap.add_argument("--init", choices=("reference", "he"), default="he",
+    ap.add_argument("--act", choices=("lrelu", "relu", "softplus"),
+                    default="lrelu",
+                    help="model activation (reference's config options, "
+                         "net_modules.py:30-41); softplus avoids the "
+                         "dead-ReLU-head attractor entirely (smooth output "
+                         "head keeps gradient alive below zero) at the cost "
+                         "of the fused train kernel (autodiff step instead)")
+    ap.add_argument("--label-cache", default=None,
+                    help="npz path to cache the labeled train/held sets "
+                         "(labeling is relay-I/O bound, ~10 min; reuse it "
+                         "across training probes)")
+    ap.add_argument("--beta", type=float, default=None,
+                    help="softplus sharpness (reference config default 100, "
+                         "which is ReLU-sharp: gradient sigmoid(beta*z) is "
+                         "dead by z=-0.05; ~10-20 keeps the head alive on "
+                         "0.02-scale labels)")
+    ap.add_argument("--recenter", type=float, default=0.002,
+                    help="target mean head pre-activation for he init. Must "
+                         "sit BELOW the label mean (~0.019 at the default "
+                         "sigma grid): starting under the targets makes the "
+                         "initial dist-L1 force uniformly UPWARD, away from "
+                         "the dead-ReLU attractor; the +0.05 used by the "
+                         "first probes sat above it and the uniform downward "
+                         "push killed the head within 400 steps")
+    ap.add_argument("--w-eikonal", type=float, default=1.0,
+                    help="eikonal weight (reference 1.0). The geodesic "
+                         "label metric 1-|<q,q'>| is ~quadratic near the "
+                         "manifold so the true field's grad norm is <<1; "
+                         "a unit-norm prior at weight 1.0 dominates the "
+                         "0.02-scale dist term")
+    ap.add_argument("--init", choices=("reference", "he", "he-matched"),
+                    default="he",
                     help="'reference' keeps the torch-parity U(+-1/sqrt(n)) "
                          "init, under which the input-gradient norm through "
                          "the 9-layer stack is ~2e-4 — the eikonal term "
@@ -133,33 +164,61 @@ def main():
     t0 = time.perf_counter()
     corpus_np = synthetic_manifold_poses(rng, N, family=family)
     corpus = jax.device_put(jnp.asarray(corpus_np))
-    # reference draw structure: runs of ~100-query groups
-    # (prepare_traindata.py:45,104 — 128 here so runs divides the
-    # power-of-2 query count); labels = exact geodesic top-5
-    runs = 1 if args.per_pose_noise else max(1, Q // 128)
-    labeled = label_sequence(
-        corpus_np, corpus, corpus_np=corpus_np, num_queries=Q, k=5,
-        rng=np.random.default_rng(1), per_pose_noise=args.per_pose_noise,
-        runs=runs, precision="default" if on_tpu else "highest")
-    q_pose = jnp.asarray(labeled["pose"])          # (Q, 21, 4)
-    q_dist = jnp.asarray(labeled["dist"].mean(axis=1))  # mean-of-5 (load_data.py:53)
-    t_label = time.perf_counter() - t0
-    print(f"== labeled {Q} queries against {N}-pose corpus in {t_label:.1f}s "
-          f"(dist: mean {float(q_dist.mean()):.4f}, "
-          f"max {float(q_dist.max()):.4f})", flush=True)
+    cache = args.label_cache
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        if (int(z["corpus_n"]) != N or int(z["queries_n"]) != Q
+                or bool(z["per_pose_noise"]) != args.per_pose_noise):
+            raise SystemExit(f"label cache {cache} was built for corpus="
+                             f"{int(z['corpus_n'])} queries="
+                             f"{int(z['queries_n'])} per_pose_noise="
+                             f"{bool(z['per_pose_noise'])}")
+        q_pose = jnp.asarray(z["q_pose"])
+        q_dist = jnp.asarray(z["q_dist"])
+        h_pose = jnp.asarray(z["h_pose"])
+        h_dist = z["h_dist"]
+        t_label = 0.0
+        print(f"== label cache hit: {cache} ({Q} queries)", flush=True)
+    else:
+        # reference draw structure: runs of ~100-query groups
+        # (prepare_traindata.py:45,104 — 128 here so runs divides the
+        # power-of-2 query count); labels = exact geodesic top-5
+        runs = 1 if args.per_pose_noise else max(1, Q // 128)
+        labeled = label_sequence(
+            corpus_np, corpus, corpus_np=corpus_np, num_queries=Q, k=5,
+            rng=np.random.default_rng(1), per_pose_noise=args.per_pose_noise,
+            runs=runs, precision="default" if on_tpu else "highest")
+        q_pose = jnp.asarray(labeled["pose"])          # (Q, 21, 4)
+        q_dist = jnp.asarray(labeled["dist"].mean(axis=1))  # mean-of-5 (load_data.py:53)
+        t_label = time.perf_counter() - t0
+        print(f"== labeled {Q} queries against {N}-pose corpus in "
+              f"{t_label:.1f}s (dist: mean {float(q_dist.mean()):.4f}, "
+              f"max {float(q_dist.max()):.4f})", flush=True)
 
-    # held-out labeled set for field-quality eval
-    held_n = min(4096, max(256, Q // 4))
-    held = label_sequence(
-        corpus_np, corpus, corpus_np=corpus_np, num_queries=held_n, k=5,
-        rng=np.random.default_rng(2), per_pose_noise=args.per_pose_noise,
-        runs=1 if args.per_pose_noise else max(1, held_n // 128),
-        precision="default" if on_tpu else "highest")
-    h_pose = jnp.asarray(held["pose"])
-    h_dist = np.asarray(held["dist"].mean(axis=1))
+        # held-out labeled set for field-quality eval
+        held_n = min(4096, max(256, Q // 4))
+        held = label_sequence(
+            corpus_np, corpus, corpus_np=corpus_np, num_queries=held_n, k=5,
+            rng=np.random.default_rng(2), per_pose_noise=args.per_pose_noise,
+            runs=1 if args.per_pose_noise else max(1, held_n // 128),
+            precision="default" if on_tpu else "highest")
+        h_pose = jnp.asarray(held["pose"])
+        h_dist = np.asarray(held["dist"].mean(axis=1))
+        if cache:
+            np.savez(cache, corpus_n=N, queries_n=Q,
+                     per_pose_noise=args.per_pose_noise,
+                     q_pose=np.asarray(q_pose), q_dist=np.asarray(q_dist),
+                     h_pose=np.asarray(h_pose), h_dist=h_dist)
+            print(f"== label cache written: {cache}", flush=True)
 
     # ---- 2. train a full-size field, batches sampled on device ----------
     cfg = PoseNDFConfig()
+    cfg.dfnet.act = args.act
+    if args.beta is not None:
+        cfg.dfnet.beta = args.beta
+    # the fused Pallas train kernel is lrelu/relu-only (ops/fused_train.py:
+    # softplus heads need act''-cotangent feedback); autodiff otherwise
+    use_fused = on_tpu and args.act in ("lrelu", "relu")
     module = cfg.make_model()
     params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
     # live output head (models/dfnet.py live_head rationale): the default
@@ -167,16 +226,70 @@ def main():
     _bL = 1 + max(int(k[1:]) for k in params["dfnet"] if k[0] == "w")
     params = dict(params, dfnet=dict(
         params["dfnet"], **{f"b{_bL-1}": params["dfnet"][f"b{_bL-1}"] + 0.1}))
-    if args.init == "he":
+    if args.init in ("he", "he-matched"):
         gain = float(np.sqrt(6.0))
         params = {top: {k: (v * gain if k.startswith("w") else v)
                         for k, v in sub.items()}
                   for top, sub in params.items()}
+        # Read the unclamped head pre-activation through a +100 bias shift
+        # (the output activation is ~identity far above zero for every act).
+        # Measured at this depth: z = -0.45 +- 0.11 on noisy poses — EVERY
+        # pose clamps to 0 through a ReLU head, and the SPREAD (~0.16)
+        # dwarfs the label scale (~0.019), so recentring the mean alone
+        # still leaves the net dist-L1 force uniformly downward (most live
+        # poses sit far above their labels) and the head dies within 500
+        # steps (probes 1-4).
+        shift = dict(params, dfnet=dict(
+            params["dfnet"], **{f"b{_bL-1}":
+                                params["dfnet"][f"b{_bL-1}"] + 100.0}))
+        probe = q_pose[:4096]
+        z = np.asarray(jax.jit(lambda p, q: module.apply({"params": p}, q))(
+            shift, probe) - 100.0).ravel()
+        dfn = dict(params["dfnet"])
+        if args.init == "he-matched":
+            # Moment-match the head to the labels: scale the last layer so
+            # the pre-activation std equals the label std, then recenter to
+            # just under the label mean. Initial predictions are then a
+            # small random function at the right scale — the L1 force is
+            # balanced/differential from step 0 instead of a uniform push
+            # into the dead zone.
+            lbl = np.asarray(q_dist)
+            s = float(lbl.std()) / max(float(z.std()), 1e-9)
+            bL = dfn[f"b{_bL-1}"]
+            dfn[f"w{_bL-1}"] = dfn[f"w{_bL-1}"] * s
+            new_mean = s * (float(z.mean()) - bL) + bL
+            recenter = float(0.8 * lbl.mean() - new_mean)
+            dfn[f"b{_bL-1}"] = bL + recenter
+            print(f"== he-matched init: z {float(z.mean()):+.4f} +- "
+                  f"{float(z.std()):.4f} -> scaled x{s:.4f}, recentered to "
+                  f"{0.8 * lbl.mean():.4f} (labels {lbl.mean():.4f} +- "
+                  f"{lbl.std():.4f})", flush=True)
+        else:
+            recenter = args.recenter - float(z.mean())
+            dfn[f"b{_bL-1}"] = dfn[f"b{_bL-1}"] + recenter
+            print(f"== he init: head pre-activation {float(z.mean()):+.4f} "
+                  f"+- {float(z.std()):.4f}, recentered by {recenter:+.4f}",
+                  flush=True)
+        params = dict(params, dfnet=dfn)
     opt = make_optimizer(LR, cfg.train.weight_decay)
     opt_state = opt.init(params)
-    weights = {"dist": 1.0, "man_loss": 1.0, "eikonal": 1.0}
-    step = make_train_step(module, opt, loss_type=cfg.train.loss_type,
-                           weights=weights, fused=on_tpu)
+
+    # Manifold-term curriculum. With full reference weights from step 0 the
+    # near-rank-1 fresh net cannot yet separate noisy from manifold inputs,
+    # so the dist-L1 and man terms push the WHOLE output down together and
+    # the ReLU head lands in the dead-zero attractor (measured at lr 1e-4:
+    # man_loss hits exactly 0 within 400 steps). Warm up on dist+eikonal
+    # only (all targets positive -> the head stays live while the field
+    # learns to track the labels), then ramp the manifold weight in.
+    def _step(wman):
+        return make_train_step(
+            module, opt, loss_type=cfg.train.loss_type,
+            weights={"dist": 1.0, "man_loss": wman,
+                     "eikonal": args.w_eikonal},
+            fused=use_fused)
+
+    CURRICULUM = ((0.15, 0.0), (0.30, 0.3), (1.01, 1.0))  # (progress<, w_man)
+    steps_by_wman = {w: _step(w) for _, w in CURRICULUM}
 
     from functools import partial
 
@@ -184,34 +297,45 @@ def main():
     # single relay execution, which the remote worker kills mid-run
     # ("TPU worker process crashed"); ~500-step chunks (~6 s each) reuse one
     # compiled executable with negligible dispatch overhead (~30 ms RTT).
-    CHUNK = min(STEPS, 500 if on_tpu else STEPS)
+    CHUNK = min(STEPS, 500)
 
-    @partial(jax.jit, static_argnames=("steps", "batch"))
-    def train_chunk(params, opt_state, q_pose, q_dist, corpus, key, steps,
-                    batch):
-        def body(carry, key):
-            params, opt_state = carry
-            kq, km = jax.random.split(key)
-            idx = jax.random.randint(kq, (batch,), 0, q_pose.shape[0])
-            midx = jax.random.randint(km, (batch,), 0, corpus.shape[0])
-            b = {"pose": q_pose[idx], "dist": q_dist[idx],
-                 "man_poses": corpus[midx]}
-            params, opt_state, metrics = step(params, opt_state, b)
-            return (params, opt_state), metrics
+    def make_train_chunk(step):
+        @partial(jax.jit, static_argnames=("steps", "batch"))
+        def train_chunk(params, opt_state, q_pose, q_dist, corpus, key,
+                        steps, batch):
+            def body(carry, key):
+                params, opt_state = carry
+                kq, km = jax.random.split(key)
+                idx = jax.random.randint(kq, (batch,), 0, q_pose.shape[0])
+                midx = jax.random.randint(km, (batch,), 0, corpus.shape[0])
+                b = {"pose": q_pose[idx], "dist": q_dist[idx],
+                     "man_poses": corpus[midx]}
+                params, opt_state, metrics = step(params, opt_state, b)
+                return (params, opt_state), metrics
 
-        (params, opt_state), metrics = jax.lax.scan(
-            body, (params, opt_state), jax.random.split(key, steps))
-        return params, opt_state, metrics
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state), jax.random.split(key, steps))
+            return params, opt_state, metrics
+
+        return train_chunk
+
+    chunk_by_wman = {w: make_train_chunk(s) for w, s in steps_by_wman.items()}
 
     t0 = time.perf_counter()
     chunks = []
-    for ci, ck in enumerate(jax.random.split(
-            jax.random.key(3), (STEPS + CHUNK - 1) // CHUNK)):
+    n_chunks = (STEPS + CHUNK - 1) // CHUNK
+    for ci, ck in enumerate(jax.random.split(jax.random.key(3), n_chunks)):
         n = min(CHUNK, STEPS - ci * CHUNK)
-        params, opt_state, m = train_chunk(
+        progress = ci / n_chunks
+        wman = next(w for frac, w in CURRICULUM if progress < frac)
+        params, opt_state, m = chunk_by_wman[wman](
             params, opt_state, q_pose, q_dist, corpus, ck, steps=n,
             batch=BATCH)
         chunks.append({k: np.asarray(v) for k, v in m.items()})
+        if ci % max(1, n_chunks // 10) == 0:
+            print(f"   chunk {ci + 1}/{n_chunks} (w_man={wman}): "
+                  + " ".join(f"{k}={chunks[-1][k][-1]:.5f}"
+                             for k in sorted(chunks[-1])), flush=True)
     metrics = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
     losses = metrics["total"]
     t_train = time.perf_counter() - t0
@@ -295,6 +419,8 @@ def main():
     result = {
         "preset": args.preset, "corpus": N, "queries": Q, "steps": STEPS,
         "batch": BATCH, "lr": LR, "specs": args.specs, "init": args.init,
+        "act": args.act, "beta": cfg.dfnet.beta, "recenter": args.recenter,
+        "w_eikonal": args.w_eikonal, "fused": use_fused,
         "per_pose_noise": args.per_pose_noise,
         "label_s": round(t_label, 1), "train_s": round(t_train, 1),
         "field_mae": round(mae, 5), "field_corr": round(corr, 4),
