@@ -255,11 +255,12 @@ def main():
             # into the dead zone.
             lbl = np.asarray(q_dist)
             s = float(lbl.std()) / max(float(z.std()), 1e-9)
-            bL = dfn[f"b{_bL-1}"]
+            b_arr = dfn[f"b{_bL-1}"]
+            bL = float(np.asarray(b_arr).ravel()[0])
             dfn[f"w{_bL-1}"] = dfn[f"w{_bL-1}"] * s
             new_mean = s * (float(z.mean()) - bL) + bL
             recenter = float(0.8 * lbl.mean() - new_mean)
-            dfn[f"b{_bL-1}"] = bL + recenter
+            dfn[f"b{_bL-1}"] = jnp.full_like(b_arr, bL + recenter)
             print(f"== he-matched init: z {float(z.mean()):+.4f} +- "
                   f"{float(z.std()):.4f} -> scaled x{s:.4f}, recentered to "
                   f"{0.8 * lbl.mean():.4f} (labels {lbl.mean():.4f} +- "
