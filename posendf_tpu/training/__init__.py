@@ -1,4 +1,5 @@
 from posendf_tpu.training.checkpoints import CheckpointStore
+from posendf_tpu.training.init_utils import he_gain, moment_matched_head_init
 from posendf_tpu.training.torch_import import (
     load_torch_checkpoint,
     params_from_torch_state_dict,
@@ -6,7 +7,9 @@ from posendf_tpu.training.torch_import import (
 
 __all__ = [
     "CheckpointStore",
+    "he_gain",
     "load_torch_checkpoint",
+    "moment_matched_head_init",
     "params_from_torch_state_dict",
 ]
 

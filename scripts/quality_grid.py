@@ -226,11 +226,22 @@ def main():
     _bL = 1 + max(int(k[1:]) for k in params["dfnet"] if k[0] == "w")
     params = dict(params, dfnet=dict(
         params["dfnet"], **{f"b{_bL-1}": params["dfnet"][f"b{_bL-1}"] + 0.1}))
-    if args.init in ("he", "he-matched"):
-        gain = float(np.sqrt(6.0))
-        params = {top: {k: (v * gain if k.startswith("w") else v)
-                        for k, v in sub.items()}
-                  for top, sub in params.items()}
+    if args.init == "he-matched":
+        # The production recipe (probe of record: field corr 0.81, live
+        # 37.5% where every plain-init run collapsed to the dead-zero
+        # field). Rationale + measurements: training/init_utils.py.
+        from posendf_tpu.training import moment_matched_head_init
+
+        params, st = moment_matched_head_init(
+            module, params, q_pose[:4096], np.asarray(q_dist))
+        print(f"== he-matched init: z {st['z_mean']:+.4f} +- "
+              f"{st['z_std']:.4f} -> scaled x{st['scale']:.4f}, head bias "
+              f"{st['new_bias']:+.4f} (labels {st['label_mean']:.4f} +- "
+              f"{st['label_std']:.4f})", flush=True)
+    elif args.init == "he":
+        from posendf_tpu.training import he_gain
+
+        params = he_gain(params)
         # Read the unclamped head pre-activation through a +100 bias shift
         # (the output activation is ~identity far above zero for every act).
         # Measured at this depth: z = -0.45 +- 0.11 on noisy poses — EVERY
@@ -239,38 +250,16 @@ def main():
         # still leaves the net dist-L1 force uniformly downward (most live
         # poses sit far above their labels) and the head dies within 500
         # steps (probes 1-4).
-        shift = dict(params, dfnet=dict(
-            params["dfnet"], **{f"b{_bL-1}":
-                                params["dfnet"][f"b{_bL-1}"] + 100.0}))
-        probe = q_pose[:4096]
-        z = np.asarray(jax.jit(lambda p, q: module.apply({"params": p}, q))(
-            shift, probe) - 100.0).ravel()
         dfn = dict(params["dfnet"])
-        if args.init == "he-matched":
-            # Moment-match the head to the labels: scale the last layer so
-            # the pre-activation std equals the label std, then recenter to
-            # just under the label mean. Initial predictions are then a
-            # small random function at the right scale — the L1 force is
-            # balanced/differential from step 0 instead of a uniform push
-            # into the dead zone.
-            lbl = np.asarray(q_dist)
-            s = float(lbl.std()) / max(float(z.std()), 1e-9)
-            b_arr = dfn[f"b{_bL-1}"]
-            bL = float(np.asarray(b_arr).ravel()[0])
-            dfn[f"w{_bL-1}"] = dfn[f"w{_bL-1}"] * s
-            new_mean = s * (float(z.mean()) - bL) + bL
-            recenter = float(0.8 * lbl.mean() - new_mean)
-            dfn[f"b{_bL-1}"] = jnp.full_like(b_arr, bL + recenter)
-            print(f"== he-matched init: z {float(z.mean()):+.4f} +- "
-                  f"{float(z.std()):.4f} -> scaled x{s:.4f}, recentered to "
-                  f"{0.8 * lbl.mean():.4f} (labels {lbl.mean():.4f} +- "
-                  f"{lbl.std():.4f})", flush=True)
-        else:
-            recenter = args.recenter - float(z.mean())
-            dfn[f"b{_bL-1}"] = dfn[f"b{_bL-1}"] + recenter
-            print(f"== he init: head pre-activation {float(z.mean()):+.4f} "
-                  f"+- {float(z.std()):.4f}, recentered by {recenter:+.4f}",
-                  flush=True)
+        shift = dict(params, dfnet=dict(
+            dfn, **{f"b{_bL-1}": dfn[f"b{_bL-1}"] + 100.0}))
+        z = np.asarray(jax.jit(lambda p, q: module.apply({"params": p}, q))(
+            shift, q_pose[:4096]) - 100.0).ravel()
+        recenter = args.recenter - float(z.mean())
+        dfn[f"b{_bL-1}"] = dfn[f"b{_bL-1}"] + recenter
+        print(f"== he init: head pre-activation {float(z.mean()):+.4f} "
+              f"+- {float(z.std()):.4f}, recentered by {recenter:+.4f}",
+              flush=True)
         params = dict(params, dfnet=dfn)
     opt = make_optimizer(LR, cfg.train.weight_decay)
     opt_state = opt.init(params)
