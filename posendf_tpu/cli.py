@@ -82,6 +82,15 @@ def cmd_train(args):
         except FileNotFoundError:
             print("experiment.val=True but no vald-split data found; skipping validation")
     trainer = Trainer(cfg, mesh=mesh, config_path=args.config)
+    if args.matched_head_init:
+        stats = trainer.matched_head_init(batcher.sample_batch())
+        if stats is None:
+            print("matched-head init skipped: resuming from a checkpoint")
+        else:
+            print(f"matched-head init: z {stats['z_mean']:+.4f} +- "
+                  f"{stats['z_std']:.4f} -> x{stats['scale']:.4f}, head bias "
+                  f"{stats['new_bias']:+.4f} (labels {stats['label_mean']:.4f}"
+                  f" +- {stats['label_std']:.4f})")
     epochs = cfg.train.max_epoch - trainer.epoch
     print(f"training {cfg.exp_name()} from epoch {trainer.epoch} for {epochs} epochs "
           f"on {mesh.devices.size} device(s)")
@@ -229,6 +238,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="raise immediately on any NaN under jit")
     p.add_argument("--test", action="store_true",
                    help="reference-CLI parity: generate poses instead of training")
+    p.add_argument("--matched-head-init", action="store_true",
+                   help="from-scratch aid: moment-match the distance head "
+                        "to the first batch's labels so the final ReLU "
+                        "cannot start in (or be pushed into) its absorbing "
+                        "dead-zero state (training/init_utils.py); ignored "
+                        "when resuming")
     p.add_argument("--fused-grads", action="store_true",
                    help="fused Pallas train-gradient kernel (TPU fast path, "
                         "lrelu/relu; multi-chip via shard_map+pmean, 1.75x)")

@@ -100,10 +100,14 @@ def moment_matched_head_init(
 
     # Read the UNCLAMPED head pre-activation through a +100 bias shift: the
     # output activation (ReLU or softplus) is ~identity far above zero, so
-    # apply(shifted) - 100 recovers z without touching the module.
+    # apply(shifted) - 100 recovers z without touching the module. Probe
+    # through a non-Pallas clone when the encoder is fused (same param
+    # tree; Mosaic kernels cannot run inside this one-off CPU-safe apply).
+    probe_mod = (module.clone(use_fused=False)
+                 if getattr(module, "use_fused", False) else module)
     shifted = dict(params, dfnet=dict(dfn, **{f"b{li}": b_arr + 100.0}))
     z = np.asarray(
-        jax.jit(lambda p, q: module.apply({"params": p}, q))(shifted, probe_poses)
+        jax.jit(lambda p, q: probe_mod.apply({"params": p}, q))(shifted, probe_poses)
         - 100.0
     ).ravel()
 

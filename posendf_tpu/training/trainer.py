@@ -224,6 +224,29 @@ class Trainer:
         self.params, self.opt_state, metrics = self._step(self.params, self.opt_state, batch)
         return metrics
 
+    def matched_head_init(self, batch) -> Optional[Dict[str, float]]:
+        """Opt-in from-scratch aid: moment-match the head to this batch's
+        labels so the final ReLU never enters its absorbing dead-zero state
+        (rationale + measurements: ``training/init_utils.py``). No-op when
+        resuming — trained weights are never clobbered. Returns the measured
+        moments, or None if skipped."""
+        if self.epoch > 0:
+            return None
+        from posendf_tpu.training.init_utils import moment_matched_head_init
+
+        params = jax.device_get(self.params)
+        new_params, stats = moment_matched_head_init(
+            self.module, params, jnp.asarray(batch["pose"]),
+            np.asarray(batch["dist"]))
+        opt_state = self.optimizer.init(new_params)
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            new_params = jax.device_put(new_params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+        self.params = new_params
+        self.opt_state = opt_state
+        return stats
+
     @staticmethod
     def _drain_metrics(step_metrics, keys) -> Dict[str, "RunningAverage"]:
         """Average per-step metric dicts with ONE host readback: stack each

@@ -64,3 +64,29 @@ def test_matched_head_hits_label_moments():
     pred = np.asarray(module.apply({"params": new_params}, poses)).ravel()
     assert (pred > 0).mean() > 0.2
     assert stats["scale"] < 1.0  # the fresh spread always dwarfs kNN labels
+
+
+def test_trainer_matched_head_init(tmp_path):
+    from posendf_tpu.data.pipeline import TrainingBatcher
+    from posendf_tpu.data.synthetic import write_synthetic_dataset
+    from posendf_tpu.training.trainer import Trainer
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path / "synth"))
+    cfg = PoseNDFConfig()
+    cfg.data.data_dir, cfg.data.amass_dir = labeled, amass
+    cfg.experiment.root_dir = str(tmp_path / "exp")
+    cfg.dfnet.dims = [64, 64]
+    cfg.train.batch_size = 2
+    cfg.train.num_pts = 128
+    batcher = TrainingBatcher(labeled, amass, batch_size=2, num_pts=128, seed=0)
+
+    trainer = Trainer(cfg)
+    stats = trainer.matched_head_init(batcher.sample_batch())
+    assert stats is not None and stats["scale"] < 1.0
+    # optimizer state was rebuilt for the new params; a step must run clean
+    m = trainer.train_epoch(iter([batcher.sample_batch() for _ in range(2)]))
+    assert np.isfinite(m["total"])
+
+    # resume guard: epochs > 0 means trained weights — never clobber them
+    trainer.epoch = 3
+    assert trainer.matched_head_init(batcher.sample_batch()) is None
