@@ -103,7 +103,7 @@ def main():
                          "a unit-norm prior at weight 1.0 dominates the "
                          "0.02-scale dist term")
     ap.add_argument("--init", choices=("reference", "he", "he-matched"),
-                    default="he",
+                    default="he-matched",
                     help="'reference' keeps the torch-parity U(+-1/sqrt(n)) "
                          "init, under which the input-gradient norm through "
                          "the 9-layer stack is ~2e-4 — the eikonal term "
