@@ -52,6 +52,36 @@ def main():
     from posendf_tpu.projection import project
 
     dev = jax.devices()[0]
+
+    # environment provenance (VERDICT r3 #6): record which jax/jaxlib/libtpu
+    # and cache state produced this artifact, so cross-round diffs are
+    # attributable (the r03 multichip incident was an unrecorded libtpu skew)
+    def _env_provenance():
+        try:
+            import jaxlib
+
+            jaxlib_v = getattr(jaxlib, "__version__", None)
+        except Exception:
+            jaxlib_v = None
+        try:
+            platform_version = str(dev.client.platform_version)
+        except Exception:
+            platform_version = None
+        try:
+            n_cached = len(os.listdir(cache_dir))
+        except OSError:
+            n_cached = 0
+        return {
+            "jax": jax.__version__,
+            "jaxlib": jaxlib_v,
+            "backend": jax.default_backend(),
+            "platform_version": platform_version,  # libtpu build on TPU
+            "device_kind": getattr(dev, "device_kind", None),
+            "compile_cache_entries_at_start": n_cached,
+        }
+
+    env_provenance = _env_provenance()
+    print(f"[bench] env: {env_provenance}", file=sys.stderr)
     cfg = PoseNDFConfig()
     module = cfg.make_model()
     params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
@@ -590,6 +620,7 @@ def main():
         "unit": "evals/s/chip",
         "vs_baseline": round(evals_per_sec / target, 3),
         "extra": {
+            "env": env_provenance,
             # best available path (the fused kernel wins on TPU; XLA on
             # backends without Mosaic)
             "projection_200step_10k_s":

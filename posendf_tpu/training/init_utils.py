@@ -112,6 +112,16 @@ def moment_matched_head_init(
     ).ravel()
 
     lbl = np.asarray(labels).ravel()
+    if float(lbl.std()) < 1e-9:
+        # degenerate/constant labels would zero the head weight matrix and
+        # silently produce a constant field — same class of guard as the
+        # z.std() floor below
+        raise ValueError(
+            "moment_matched_head_init: the probe labels have ~zero spread "
+            f"(std={float(lbl.std()):.3g}); matching the head to them would "
+            "zero the weight matrix. Check the label pipeline (a constant "
+            "dist column usually means the kNN labeler ran against a "
+            "degenerate corpus).")
     scale = float(lbl.std()) / max(float(z.std()), 1e-9)
     dfn[f"w{li}"] = dfn[f"w{li}"] * scale
     new_mean = scale * (float(z.mean()) - bL) + bL

@@ -24,8 +24,18 @@ jax.config.update("jax_platforms", "cpu")
 # them. Keyed by platform, so it never collides with the TPU cache
 # (.jax_cache/, bench.py) — kept separate anyway so either can be wiped
 # independently. Trivial sub-second compiles are not worth the disk churn.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          ".jax_cache_cpu")
+# Sub-keyed per host CPU: XLA:CPU AOT cache entries embed target features
+# the cache key ignores, so a cache written on another machine can load
+# SIGILL-prone code (observed in MULTICHIP_r03.json's tail; same fix in
+# __graft_entry__._cpu_cache_dir).
+import sys as _sys
+
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in _sys.path:
+    _sys.path.insert(0, _repo_root)
+from __graft_entry__ import _cpu_cache_dir  # noqa: E402
+
+_cache_dir = _cpu_cache_dir(_repo_root)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

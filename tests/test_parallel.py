@@ -66,6 +66,47 @@ def test_dryrun_multichip_contract():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_child_env_strips_axon_plugin():
+    """The CPU-pinned dryrun child must not be able to load the remote-TPU
+    plugin: round-3's driver artifact went red on an axon libtpu
+    client/terminal skew that a CPU-only check must never see."""
+    import __graft_entry__ as g
+
+    base = {"PYTHONPATH": "/root/.axon_site:/some/other/dir",
+            "XLA_FLAGS": "", "HOME": "/root"}
+    env = g._dryrun_child_env(base, 8)
+    assert ".axon_site" not in env.get("PYTHONPATH", "")
+    assert "/some/other/dir" in env["PYTHONPATH"]
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert env["_POSENDF_DRYRUN_CHILD"] == "1"
+    # PYTHONPATH that is ONLY the axon site is dropped entirely
+    env2 = g._dryrun_child_env({"PYTHONPATH": "/root/.axon_site"}, 4)
+    assert "PYTHONPATH" not in env2
+
+
+def test_dryrun_child_jax_backends_exclude_axon():
+    """A real child process under the dryrun env must see ONLY the cpu
+    backend — the axon PJRT plugin (registered by the .axon_site
+    sitecustomize) must be unloadable there."""
+    import os
+    import subprocess
+    import sys
+
+    import __graft_entry__ as g
+
+    env = g._dryrun_child_env(os.environ, 2)
+    code = ("import jax; import jax._src.xla_bridge as xb; "
+            "names = sorted(xb.backends()); print('BACKENDS', names)")
+    proc = subprocess.run([sys.executable, "-c", code],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "BACKENDS" in proc.stdout
+    assert "axon" not in proc.stdout, proc.stdout
+    assert "cpu" in proc.stdout
+
+
 def test_entry_contract():
     import __graft_entry__ as g
 
