@@ -35,6 +35,18 @@ def _load(args):
     return load_config(args.config)
 
 
+def _add_mesh_out(p: argparse.ArgumentParser, default_dir: str):
+    """Mesh/render output flags shared by the experiment subcommands — the
+    reference renders before/after meshes in every experiment
+    (exp_utils.py:30-63; motion_denoise.py:61,112; sample_poses.py:59-62)."""
+    p.add_argument("--save-mesh", action="store_true",
+                   help=f"write OBJ meshes (default dir: {default_dir})")
+    p.add_argument("--render", action="store_true",
+                   help="write PNG renders (PIL) or .npy grayscale")
+    p.add_argument("--mesh-dir", default=None,
+                   help=f"mesh/render output dir (default {default_dir})")
+
+
 def _load_params(cfg, ckpt_path):
     from posendf_tpu.field import load_field
 
@@ -65,6 +77,11 @@ def cmd_train(args):
         cfg.train.max_epoch = args.max_epoch
     if args.fused_grads:
         cfg.train.fused_grads = True
+    if args.early_stop_patience is not None:
+        cfg.train.early_stop_patience = args.early_stop_patience
+        cfg.experiment.val = True  # patience is meaningless without val
+    if args.val_every is not None:
+        cfg.experiment.val_every = args.val_every
     mesh = make_mesh(("data",))
     batcher = TrainingBatcher(
         cfg.data.data_dir, cfg.data.amass_dir,
@@ -95,14 +112,20 @@ def cmd_train(args):
     print(f"training {cfg.exp_name()} from epoch {trainer.epoch} for {epochs} epochs "
           f"on {mesh.devices.size} device(s)")
     with trace(args.profile):
-        for _ in range(epochs):
-            trainer.fit(batcher, epochs=1)
-            # reference cadence: validate every 100 epochs (trainer.py:23-24)
-            if val_batcher is not None and trainer.epoch % 100 == 0:
-                stats = trainer.validate(
-                    val_batcher.sample_batch()
-                    for _ in range(len(val_batcher)))
-                print(f"val epoch {trainer.epoch}: total={stats['total']:.6f}")
+        # validation-gated best retention + optional early stop live inside
+        # fit (reference cadence val_every=100, trainer.py:23-24; unlike the
+        # reference's "best"-that-is-latest, checkpoint_best.* here really
+        # holds the best validation loss)
+        trainer.fit(batcher, epochs=epochs,
+                    val_batcher=val_batcher,
+                    val_every=cfg.experiment.val_every,
+                    early_stop_patience=cfg.train.early_stop_patience)
+    if val_batcher is not None:
+        info = trainer.store.best_info()
+        if info:
+            print(f"best checkpoint: epoch {info['epoch']} "
+                  f"({info['mode']} total={info['metric']:.6f}) -> "
+                  f"{trainer.store.directory}/checkpoint_best.*")
 
 
 def cmd_generate(args):
@@ -247,6 +270,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused-grads", action="store_true",
                    help="fused Pallas train-gradient kernel (TPU fast path, "
                         "lrelu/relu; multi-chip via shard_map+pmean, 1.75x)")
+    p.add_argument("--early-stop-patience", type=int, default=None,
+                   metavar="N",
+                   help="stop after N consecutive non-improving validations "
+                        "(enables experiment.val); the retained "
+                        "checkpoint_best.* guards against the measured "
+                        "training-length erosion (docs/quality/)")
+    p.add_argument("--val-every", type=int, default=None, metavar="E",
+                   help="validation cadence in epochs (default 100, the "
+                        "reference cadence)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("generate", help="sample poses by manifold projection")
@@ -294,6 +326,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gt-data", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None, help="SMPL model file (.pkl/.npz)")
+    _add_mesh_out(p, "./denoised")
     p.set_defaults(fn=cmd_denoise)
 
     p = sub.add_parser("partial", help="partial-observation completion")
@@ -302,6 +335,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None)
     p.add_argument("--max-frames", type=int, default=120)
+    _add_mesh_out(p, "./partial_out")
     p.set_defaults(fn=cmd_partial)
 
     p = sub.add_parser("interpolate", help="slerp + projection between poses")
@@ -318,6 +352,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image-folder", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None)
+    _add_mesh_out(p, "the image folder")
     p.set_defaults(fn=cmd_fit_image)
 
     p = sub.add_parser("denoise-bench", help="motion-denoising benchmark sweep (HuMoR-style grid)")

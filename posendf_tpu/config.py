@@ -38,6 +38,8 @@ class ExperimentConfig:
     exp_name: str = "main"
     num_part: int = 21
     val: bool = False
+    val_every: int = 100   # validation cadence in epochs (reference
+                           # trainer.py:23-24 validates every 100)
     test: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
@@ -94,6 +96,10 @@ class TrainConfig:
     fused_tile: int = 2048         # kernel batch tile (v5e sweep: 2048 at the
                                    # 20k batch; smaller batches clamp anyway)
     ckpt_backend: str = "msgpack"  # or 'orbax'
+    early_stop_patience: int = 0   # stop after N consecutive non-improving
+                                   # validations (0 = off; needs
+                                   # experiment.val). Guards the measured
+                                   # training-length erosion (docs/quality/).
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

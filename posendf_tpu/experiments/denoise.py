@@ -185,3 +185,14 @@ def run_cli(args) -> None:
     if args.out:
         np.savez(args.out, pose_body=np.asarray(final_pose), **metrics)
         print(f"wrote {args.out}")
+    if getattr(args, "save_mesh", False) or getattr(args, "render", False):
+        # before/after meshes like the reference denoiser
+        # (motion_denoise.py:61,112 via exp_utils.py:30-63)
+        from posendf_tpu.experiments.render import export_pose_meshes
+
+        out_dir = args.mesh_dir or "./denoised"
+        export_pose_meshes(out_dir, bm,
+                           [("init", jnp.asarray(noisy)),
+                            ("out", final_pose)],
+                           save_mesh=args.save_mesh, render=args.render)
+        print(f"wrote meshes/renders -> {out_dir}")

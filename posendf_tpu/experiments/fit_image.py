@@ -269,6 +269,50 @@ class ImageFitter:
         return result, metrics
 
 
+def project_result_keypoints(fitter: ImageFitter, result: Dict[str, jax.Array],
+                             center: Optional[np.ndarray] = None) -> np.ndarray:
+    """Project the fitted body's BODY_25 keypoints through the fitted camera:
+    (B, 25, 2) pixel coordinates — the quantity the reference's staged fit
+    renders against the image (``image_fitting.py:68,86``)."""
+    verts, joints = lbs_forward(fitter.body_model.model, result["betas"],
+                                result["global_orient"], result["pose_body"])
+    joints = with_landmarks(verts, joints)
+    B = joints.shape[0]
+    center_arr = (jnp.tile(jnp.asarray(center, jnp.float32)[None], (B, 1))
+                  if center is not None else jnp.zeros((B, 2)))
+    cam = {"rotation": result["camera_rotation"],
+           "translation": result["camera_translation"]}
+    proj = project_points(cam, fitter._mapped_joints(joints),
+                          fitter.focal_length, center_arr)
+    return np.asarray(proj)
+
+
+def save_keypoint_overlay(img_path: str, out_path: str, proj_xy: np.ndarray,
+                          gt_xy: Optional[np.ndarray] = None,
+                          radius: int = 4) -> Optional[str]:
+    """Draw projected (and optionally ground-truth) keypoints over the image.
+    Returns the written path, or None when PIL is unavailable (overlay is
+    diagnostics, same policy as render.py)."""
+    try:
+        from PIL import Image, ImageDraw
+    except Exception:
+        return None
+    img = Image.open(img_path).convert("RGB")
+    draw = ImageDraw.Draw(img)
+
+    def dots(xy, color):
+        for x, y in np.asarray(xy).reshape(-1, 2):
+            if np.isfinite(x) and np.isfinite(y):
+                draw.ellipse([x - radius, y - radius, x + radius, y + radius],
+                             outline=color, width=2)
+
+    if gt_xy is not None:
+        dots(gt_xy, (60, 200, 60))     # green: detected keypoints
+    dots(proj_xy, (230, 70, 70))       # red: fitted-model projection
+    img.save(out_path)
+    return out_path
+
+
 def run_cli(args) -> None:
     import os
 
@@ -300,3 +344,21 @@ def run_cli(args) -> None:
     if args.out:
         np.savez(args.out, **{k: np.asarray(v) for k, v in result.items()})
         print(f"wrote {args.out}")
+    if getattr(args, "save_mesh", False) or getattr(args, "render", False):
+        from posendf_tpu.experiments.render import export_pose_meshes
+
+        out_dir = args.mesh_dir or args.image_folder
+        export_pose_meshes(out_dir, bm, [("fit", result["pose_body"])],
+                           save_mesh=args.save_mesh, render=args.render,
+                           betas=result["betas"],
+                           global_orient=result["global_orient"])
+        # projected-keypoint overlay on the source image, when it exists
+        # (reference renders the fit against the image, image_fitting.py:68,86)
+        if os.path.exists(img_path):
+            proj = project_result_keypoints(fitter, result, center=center)
+            gt = np.asarray(keypoints, np.float32).reshape(-1, 25, 3)[..., :2]
+            overlay = save_keypoint_overlay(
+                img_path, os.path.join(out_dir, "overlay.png"), proj, gt)
+            if overlay:
+                print(f"wrote keypoint overlay -> {overlay}")
+        print(f"wrote meshes/renders -> {out_dir}")

@@ -49,3 +49,13 @@ def run_cli(args) -> None:
     if args.out:
         np.savez(args.out, pose_body=np.asarray(final_pose))
         print(f"wrote {args.out}")
+    if getattr(args, "save_mesh", False) or getattr(args, "render", False):
+        # before/after meshes like the reference (partial_observation.py
+        # renders via the shared exp_utils.py:30-63 path)
+        from posendf_tpu.experiments.render import export_pose_meshes
+
+        out_dir = args.mesh_dir or "./partial_out"
+        export_pose_meshes(out_dir, bm,
+                           [("init", jnp.asarray(pose)), ("out", final_pose)],
+                           save_mesh=args.save_mesh, render=args.render)
+        print(f"wrote meshes/renders -> {out_dir}")

@@ -16,7 +16,34 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["save_obj", "save_meshes", "render_mesh", "render_meshes"]
+__all__ = ["save_obj", "save_meshes", "render_mesh", "render_meshes",
+           "export_pose_meshes"]
+
+
+def export_pose_meshes(out_dir: str, body_model, named_poses, *,
+                       save_mesh: bool = True, render: bool = False,
+                       betas=None, global_orient=None) -> None:
+    """SMPL-forward each named pose set and write OBJ meshes and/or PNG
+    renders — the reference's per-experiment visualization step
+    (``motion_denoise.py:61,112``, ``sample_poses.py:59-62,79-82``,
+    ``exp_utils.py:30-63``), shared by the generate/denoise/partial/fit-image
+    CLIs.
+
+    Args:
+        body_model: a ``posendf_tpu.smpl.BodyModel``.
+        named_poses: iterable of ``(prefix, pose_body)`` with pose_body
+            (B, 63|69) axis-angle; prefixes become the mesh/render filename
+            stems (reference uses init/out).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    for prefix, pose_body in named_poses:
+        res = body_model(pose_body=pose_body, betas=betas,
+                         root_orient=global_orient)
+        verts = np.asarray(res.vertices)
+        if save_mesh:
+            save_meshes(out_dir, verts, res.faces, prefix=prefix)
+        if render:
+            render_meshes(out_dir, verts, res.faces, prefix=prefix)
 
 
 def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray) -> None:

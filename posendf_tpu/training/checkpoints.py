@@ -50,6 +50,8 @@ def _check_shapes(restored, template, path: str) -> None:
 
 LATEST = "checkpoint_latest.msgpack"
 PREVIOUS = "checkpoint_previous.msgpack"
+BEST = "checkpoint_best.msgpack"
+BEST_META = "checkpoint_best.json"
 
 
 class CheckpointStore:
@@ -114,6 +116,92 @@ class CheckpointStore:
             _check_shapes(payload["state"], template, path)
             return payload["state"], int(payload["epoch"])
         return None
+
+    # ---- validation-gated best checkpoint -----------------------------------
+    #
+    # The reference saves "checkpoint_epoch_best.tar" every epoch — its "best"
+    # is really "latest" because validation is disabled
+    # (model/train_posendf.py:147-156). Here "best" is REAL: callers pass the
+    # validation metric, the store keeps the best-so-far checkpoint alongside
+    # the rolling latest/previous pair, and the sidecar JSON records which
+    # epoch/metric it holds. This operationalizes the framework's own measured
+    # finding that longer training can silently erode field quality
+    # (held-out corr 0.961 @ 4k steps -> 0.359 @ 12k, docs/quality/).
+
+    def best_info(self) -> Optional[Dict[str, Any]]:
+        """{'epoch': int, 'metric': float, 'mode': str} of the stored best
+        checkpoint, or None if no best has been saved."""
+        import json
+
+        path = os.path.join(self.directory, BEST_META)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def save_best(self, state: Dict[str, Any], epoch: int, metric: float,
+                  mode: str = "min") -> Optional[str]:
+        """Save ``state`` as the best checkpoint iff ``metric`` beats the
+        stored one (``mode``: 'min' for losses, 'max' for e.g. correlation).
+        Returns the path if saved, None if the stored best is still better."""
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
+        info = self.best_info()
+        if info is not None:
+            prev = float(info["metric"])
+            if (metric >= prev) if mode == "min" else (metric <= prev):
+                return None
+        import json
+
+        if self.backend == "orbax":
+            best = self._orbax_dir("best")
+            tmp = self._orbax_dir("best.tmp")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            self._ckptr.save(os.path.abspath(tmp),
+                             {"epoch": epoch, "state": state}, force=True)
+            self._ckptr.wait_until_finished()
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            os.replace(tmp, best)
+            path = best
+        else:
+            payload = {"epoch": epoch, "state": state}
+            path = os.path.join(self.directory, BEST)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(fser.to_bytes(payload))
+            os.replace(tmp, path)
+        meta_tmp = os.path.join(self.directory, BEST_META + ".tmp")
+        with open(meta_tmp, "w") as f:
+            json.dump({"epoch": int(epoch), "metric": float(metric),
+                       "mode": mode}, f)
+        os.replace(meta_tmp, os.path.join(self.directory, BEST_META))
+        return path
+
+    def restore_best(self, template: Dict[str, Any]) -> Optional[Tuple[Dict[str, Any], int]]:
+        """Restore the best checkpoint into ``template`` shapes, or None."""
+        if self.backend == "orbax":
+            path = self._orbax_dir("best")
+            if not os.path.isdir(path):
+                return None
+            import jax
+
+            target = {"epoch": 0,
+                      "state": jax.tree_util.tree_map(lambda x: x, template)}
+            payload = self._ckptr.restore(os.path.abspath(path), target)
+        else:
+            path = os.path.join(self.directory, BEST)
+            if not os.path.exists(path):
+                return None
+            with open(path, "rb") as f:
+                payload = fser.from_bytes({"epoch": 0, "state": template},
+                                          f.read())
+        _check_shapes(payload["state"], template, path)
+        return payload["state"], int(payload["epoch"])
 
     # ---- orbax backend -----------------------------------------------------
 

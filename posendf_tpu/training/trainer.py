@@ -337,9 +337,44 @@ class Trainer:
                  "opt_state": jax.device_get(self.opt_state)}
         self.store.save(state, self.epoch)
 
-    def fit(self, batcher, epochs: int, log_every: int = 1, save_every: int = 1):
+    def restore_best(self) -> Optional[int]:
+        """Load the validation-best checkpoint into the live training state.
+        Returns its epoch, or None if no best checkpoint exists."""
+        template = {"params": jax.device_get(self.params),
+                    "opt_state": jax.device_get(self.opt_state)}
+        restored = self.store.restore_best(template)
+        if restored is None:
+            return None
+        state, epoch = restored
+        params, opt_state = state["params"], state["opt_state"]
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            params = jax.device_put(params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+        self.params, self.opt_state = params, opt_state
+        return epoch
+
+    def fit(self, batcher, epochs: int, log_every: int = 1, save_every: int = 1,
+            *, val_batcher=None, val_every: int = 100,
+            val_metric: str = "total", val_mode: str = "min",
+            val_batches: Optional[int] = None,
+            early_stop_patience: int = 0):
+        """Train for ``epochs`` epochs with rolling checkpoints.
+
+        With ``val_batcher``, every ``val_every`` epochs a validation pass
+        runs and the best-so-far checkpoint is RETAINED as
+        ``checkpoint_best.*`` (judged by ``val_metric``/``val_mode``) — the
+        reference writes a file *named* best that is actually latest
+        (``model/train_posendf.py:147-156``); here best is real, because this
+        framework measured that longer training can silently erode the field
+        (held-out corr 0.961 @ 4k steps -> 0.359 @ 12k, docs/quality/).
+        ``early_stop_patience`` > 0 stops after that many consecutive
+        non-improving validations. Recover the retained weights with
+        ``restore_best()`` (or ``CheckpointStore.restore_best``).
+        """
         from posendf_tpu.data.pipeline import prefetch_to_device
 
+        stale = 0
         for _ in range(epochs):
             stream = prefetch_to_device(batcher.epoch(self.epoch), self.batch_sharding)
             stats = self.train_epoch(stream)
@@ -352,4 +387,31 @@ class Trainer:
             if self.epoch % save_every == 0:
                 self.save()
             self.epoch += 1
+            # reference cadence: validate every `val_every` epochs
+            # (reference trainer.py:23-24 — val_every=100)
+            if val_batcher is not None and self.epoch % val_every == 0:
+                n = val_batches if val_batches is not None else len(val_batcher)
+                vstats = self.validate(
+                    val_batcher.sample_batch() for _ in range(n))
+                metric = float(vstats[val_metric])
+                state = {"params": jax.device_get(self.params),
+                         "opt_state": jax.device_get(self.opt_state)}
+                saved = self.store.save_best(state, self.epoch - 1, metric,
+                                             mode=val_mode)
+                if saved is not None:
+                    stale = 0
+                    print(f"val epoch {self.epoch - 1}: {val_metric}="
+                          f"{metric:.6f} (new best; retained)")
+                else:
+                    stale += 1
+                    info = self.store.best_info() or {}
+                    print(f"val epoch {self.epoch - 1}: {val_metric}="
+                          f"{metric:.6f} (best remains "
+                          f"{info.get('metric', float('nan')):.6f} @ epoch "
+                          f"{info.get('epoch', '?')}; stale {stale})")
+                    if early_stop_patience and stale >= early_stop_patience:
+                        print(f"early stop: {val_metric} has not improved in "
+                              f"{stale} consecutive validations "
+                              f"(patience {early_stop_patience})")
+                        break
         return self

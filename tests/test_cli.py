@@ -109,3 +109,49 @@ def test_cli_version(capsys):
         build_parser().parse_args(["--version"])
     assert e.value.code == 0
     assert __version__ in capsys.readouterr().out
+
+
+def test_denoise_with_mesh_output(tmp_path):
+    rng = np.random.default_rng(4)
+    motion = str(tmp_path / "motion.npz")
+    np.savez(motion, pose_body=rng.normal(scale=0.2, size=(3, 63)).astype(np.float32))
+    mesh_dir = str(tmp_path / "dn")
+    main(["denoise", "-c", CFG, "--motion-data", motion,
+          "--save-mesh", "--render", "--mesh-dir", mesh_dir])
+    objs = os.listdir(os.path.join(mesh_dir, "meshes"))
+    assert len(objs) == 6  # init + out per frame
+    assert any(o.startswith("init_") for o in objs)
+    assert any(o.startswith("out_") for o in objs)
+    renders = os.listdir(os.path.join(mesh_dir, "render"))
+    assert len(renders) == 6
+
+
+def test_partial_with_mesh_output(tmp_path):
+    rng = np.random.default_rng(5)
+    motion = str(tmp_path / "motion.npz")
+    np.savez(motion, pose_body=rng.normal(scale=0.2, size=(4, 63)).astype(np.float32))
+    mesh_dir = str(tmp_path / "po")
+    main(["partial", "-c", CFG, "--motion-data", motion, "--max-frames", "2",
+          "--save-mesh", "--mesh-dir", mesh_dir])
+    objs = os.listdir(os.path.join(mesh_dir, "meshes"))
+    assert len(objs) == 4  # init + out for 2 frames
+
+
+def test_fit_image_with_mesh_and_overlay(tmp_path):
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — overlay needs PIL
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    folder = tmp_path / "img"
+    folder.mkdir()
+    kpts = np.zeros((25, 3), np.float32)
+    kpts[:15, :2] = rng.normal(scale=100, size=(15, 2))
+    kpts[:15, 2] = 1.0
+    np.savez(folder / "kpts.npz", **{"0": kpts})
+    Image.new("RGB", (64, 48)).save(folder / "img.jpg")
+    mesh_dir = str(tmp_path / "fit_out")
+    main(["fit-image", "-c", CFG, "--image-folder", str(folder),
+          "--save-mesh", "--mesh-dir", mesh_dir])
+    objs = os.listdir(os.path.join(mesh_dir, "meshes"))
+    assert objs == ["fit_0000.obj"]
+    assert os.path.exists(os.path.join(mesh_dir, "overlay.png"))

@@ -335,3 +335,80 @@ def test_default_file_glob_matches_reference_filter(tmp_path):
         b_fb = TrainingBatcher(str(tmp_path / "labeled"),
                                str(tmp_path / "amass"), batch_size=1, num_pts=4)
     assert [os.path.basename(f) for f in b_fb.files.labeled] == ["seqA_001.npz"]
+
+
+def test_best_checkpoint_store_semantics(tmp_path):
+    """save_best keeps the best-metric checkpoint only; best_info records
+    epoch/metric; restore_best returns the retained state (the reference's
+    'checkpoint_epoch_best.tar' is actually latest, train_posendf.py:147-156
+    — here best is real)."""
+    from posendf_tpu.training.checkpoints import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "ck"))
+    s1 = {"params": {"w": np.ones((2, 2), np.float32)}}
+    s2 = {"params": {"w": np.full((2, 2), 2.0, np.float32)}}
+    s3 = {"params": {"w": np.full((2, 2), 3.0, np.float32)}}
+
+    assert store.best_info() is None
+    assert store.save_best(s1, epoch=0, metric=1.0) is not None
+    assert store.save_best(s2, epoch=1, metric=1.5) is None  # worse (min)
+    info = store.best_info()
+    assert info["epoch"] == 0 and info["metric"] == 1.0
+    assert store.save_best(s3, epoch=2, metric=0.5) is not None  # better
+    info = store.best_info()
+    assert info["epoch"] == 2 and info["metric"] == 0.5
+
+    template = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    state, epoch = store.restore_best(template)
+    assert epoch == 2
+    np.testing.assert_array_equal(state["params"]["w"], s3["params"]["w"])
+
+    # max mode (e.g. held-out correlation)
+    store2 = CheckpointStore(str(tmp_path / "ck2"))
+    assert store2.save_best(s1, epoch=0, metric=0.3, mode="max") is not None
+    assert store2.save_best(s2, epoch=1, metric=0.2, mode="max") is None
+    assert store2.save_best(s3, epoch=2, metric=0.9, mode="max") is not None
+    assert store2.best_info()["metric"] == 0.9
+
+    with pytest.raises(ValueError, match="mode"):
+        store2.save_best(s1, epoch=3, metric=0.0, mode="bogus")
+
+
+def test_fit_retains_best_and_early_stops(dataset, tmp_path, monkeypatch, capsys):
+    """fit(val_batcher=...) retains the checkpoint at the best validation
+    metric and stops after `early_stop_patience` consecutive non-improving
+    validations — the guardrail for the measured training-length erosion
+    (corr 0.961 @ 4k steps -> 0.359 @ 12k, docs/quality/)."""
+    labeled, amass = dataset
+    cfg = _small_cfg(tmp_path, labeled, amass)
+    batcher = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32, seed=3)
+    trainer = Trainer(cfg)
+
+    # scripted validation losses: best at epoch 1, then strictly worse
+    script = iter([1.0, 0.5, 0.7, 0.8, 0.9, 0.95])
+    best_params_snapshot = {}
+
+    def fake_validate(batches):
+        list(batches)  # drain like the real one
+        m = next(script)
+        if m == 0.5:
+            best_params_snapshot["params"] = jax.device_get(trainer.params)
+        return {"total": m, "dist": m, "man_loss": m, "eikonal": m}
+
+    monkeypatch.setattr(trainer, "validate", fake_validate)
+    trainer.fit(batcher, epochs=6, val_batcher=batcher, val_every=1,
+                val_batches=1, early_stop_patience=2)
+
+    # early stop: epochs 0..4 ran (best @1, stale @2, stale @3 -> stop)
+    assert trainer.epoch == 4
+    info = trainer.store.best_info()
+    assert info["metric"] == 0.5 and info["epoch"] == 1
+    out = capsys.readouterr().out
+    assert "early stop" in out
+
+    # the retained best equals the params as they were at that validation
+    epoch = trainer.restore_best()
+    assert epoch == 1
+    ref = jax.tree_util.tree_leaves(best_params_snapshot["params"])[0]
+    got = jax.tree_util.tree_leaves(jax.device_get(trainer.params))[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
