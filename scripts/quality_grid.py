@@ -116,7 +116,21 @@ def main():
                          "at init; architecture and loss stay "
                          "reference-exact.")
     ap.add_argument("--save-ckpt", default=None,
-                    help="msgpack path to save the trained params")
+                    help="msgpack path to save the trained params (the "
+                         "val-gated best when --val-gate is on)")
+    ap.add_argument("--no-val-gate", action="store_true",
+                    help="disable validation-gated best retention. Default "
+                         "ON: every training chunk the held-out distance "
+                         "correlation is measured and the best params are "
+                         "retained and used for the benchmark grid — the "
+                         "guardrail for the measured training-length "
+                         "erosion (corr 0.961 @ 4k -> 0.359 @ 12k, "
+                         "docs/quality/continuation_12k.json)")
+    ap.add_argument("--ablate-prior", action="store_true",
+                    help="per sigma, also denoise with the pose_pr term "
+                         "zeroed (scale=0, schedule otherwise identical) "
+                         "and report the v2v delta attributable to the "
+                         "field prior")
     ap.add_argument("--out", default=None, help="write results JSON here")
     ap.add_argument("--device", choices=("default", "cpu"), default="default",
                     help="'cpu' forces the CPU backend (this image's "
@@ -125,11 +139,14 @@ def main():
     args = ap.parse_args()
 
     smoke = args.preset == "smoke"
-    N = args.corpus or (4096 if smoke else 1 << 17)
-    Q = args.queries or (8192 if smoke else 1 << 18)
-    STEPS = args.steps or (300 if smoke else 20000)
-    BATCH = args.batch or (2048 if smoke else 1 << 16)
-    LR = args.lr or (1e-4 if smoke else 3e-5)
+    # explicit zero-valued flags must not fall back to the preset default
+    # (argparse defaults are None, so `is None` is the correct test)
+    _d = lambda v, dflt: v if v is not None else dflt  # noqa: E731
+    N = _d(args.corpus, 4096 if smoke else 1 << 17)
+    Q = _d(args.queries, 8192 if smoke else 1 << 18)
+    STEPS = _d(args.steps, 300 if smoke else 20000)
+    BATCH = _d(args.batch, 2048 if smoke else 1 << 16)
+    LR = _d(args.lr, 1e-4 if smoke else 3e-5)
 
     import jax
 
@@ -311,6 +328,20 @@ def main():
 
     chunk_by_wman = {w: make_train_chunk(s) for w, s in steps_by_wman.items()}
 
+    # validation-gated best retention (the Trainer.fit / save_best semantics
+    # at quality-grid granularity): held-out distance corr per chunk, best
+    # params retained — longer training past the sweet spot must not erode
+    # the artifact (measured: corr 0.961 @ 4k steps -> 0.359 @ 12k)
+    val_gate = not args.no_val_gate
+    eval_fn = jax.jit(lambda p, q: module.apply({"params": p}, q))
+
+    def held_corr(p):
+        pred = np.asarray(eval_fn(p, h_pose)).ravel()
+        return (float(np.corrcoef(pred, h_dist)[0, 1])
+                if pred.std() > 0 else float("nan"))
+
+    best = {"corr": -np.inf, "params": None, "step": 0}
+
     t0 = time.perf_counter()
     chunks = []
     n_chunks = (STEPS + CHUNK - 1) // CHUNK
@@ -322,10 +353,17 @@ def main():
             params, opt_state, q_pose, q_dist, corpus, ck, steps=n,
             batch=BATCH)
         chunks.append({k: np.asarray(v) for k, v in m.items()})
+        if val_gate:
+            c = held_corr(params)
+            if np.isfinite(c) and c > best["corr"]:
+                best = {"corr": c, "params": jax.device_get(params),
+                        "step": ci * CHUNK + n}
         if ci % max(1, n_chunks // 10) == 0:
+            gate = (f" val corr={c:.3f} (best {best['corr']:.3f} "
+                    f"@ step {best['step']})" if val_gate else "")
             print(f"   chunk {ci + 1}/{n_chunks} (w_man={wman}): "
                   + " ".join(f"{k}={chunks[-1][k][-1]:.5f}"
-                             for k in sorted(chunks[-1])), flush=True)
+                             for k in sorted(chunks[-1])) + gate, flush=True)
     metrics = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
     losses = metrics["total"]
     t_train = time.perf_counter() - t0
@@ -343,15 +381,20 @@ def main():
               flush=True)
 
     # ---- 3. field quality on held-out noisy poses ------------------------
-    pred = np.asarray(jax.jit(
-        lambda p, q: module.apply({"params": p}, q))(params, h_pose)).ravel()
+    final_corr = held_corr(params)
+    if val_gate and best["params"] is not None and best["corr"] > final_corr:
+        print(f"== val gate: final corr {final_corr:.3f} < best "
+              f"{best['corr']:.3f} @ step {best['step']} — using the "
+              "retained best params (training-length erosion survived)",
+              flush=True)
+        params = jax.device_put(best["params"])
+    pred = np.asarray(eval_fn(params, h_pose)).ravel()
     mae = float(np.mean(np.abs(pred - h_dist)))
     live_frac = float(np.mean(pred > 0))
     corr = (float(np.corrcoef(pred, h_dist)[0, 1])
             if pred.std() > 0 else float("nan"))
     # manifold separation: field value on clean corpus poses vs noisy
-    clean_pred = np.asarray(jax.jit(
-        lambda p, q: module.apply({"params": p}, q))(
+    clean_pred = np.asarray(eval_fn(
         params, jnp.asarray(corpus_np[:4096]))).ravel()
     print(f"== field quality (held out): MAE {mae:.4f}, corr {corr:.3f}, "
           f"live {100 * live_frac:.1f}%; "
@@ -377,11 +420,26 @@ def main():
             "data": AnnealSpec(scale=100.0, power=1, anneal=-1.0),
         }
     den = MotionDenoiser(module, params, body, specs=specs)
+    den_nopr = None
+    if args.ablate_prior:
+        # identical schedule with the field prior zeroed: the v2v delta per
+        # sigma is the prior's measured contribution (VERDICT r3 #3b)
+        base = dict(specs or den.specs)
+        base["pose_pr"] = base["pose_pr"]._replace(scale=0.0)
+        den_nopr = MotionDenoiser(module, params, body, specs=base)
+
+    @jax.jit
+    def field_on_clip(p, noisy63):
+        from posendf_tpu.quat import axis_angle_to_quaternion
+
+        quat = axis_angle_to_quaternion(
+            noisy63.reshape(noisy63.shape[0], 21, 3))
+        return jnp.mean(module.apply({"params": p}, quat))
 
     grid = []
     eval_rng = np.random.default_rng(7)
     for sigma in args.sigmas:
-        v_in, v_out, pr_in, pr_out = [], [], [], []
+        v_in, v_out, pr_in, pr_out, v_nopr = [], [], [], [], []
         for c in range(args.clips):
             clean_q = synthetic_motion_sequence(eval_rng, args.frames,
                                                 family=family)
@@ -389,29 +447,56 @@ def main():
                 jnp.asarray(clean_q))).reshape(args.frames, 63)
             noisy = (gt + sigma * eval_rng.standard_normal(gt.shape)
                      ).astype(np.float32)
+            pr_in.append(float(field_on_clip(params, jnp.asarray(noisy))))
             _, m = den.optimize(jnp.asarray(noisy), jnp.asarray(gt),
                                 iterations=10, steps_per_iter=50)
             v_in.append(m["v2v_input_cm"])
             v_out.append(m["v2v_cm"])
             pr_out.append(m["final_pose_pr"])
+            if den_nopr is not None:
+                _, m0 = den_nopr.optimize(jnp.asarray(noisy), jnp.asarray(gt),
+                                          iterations=10, steps_per_iter=50)
+                v_nopr.append(m0["v2v_cm"])
         row = {"sigma": sigma,
                "v2v_input_cm": float(np.mean(v_in)),
                "v2v_out_cm": float(np.mean(v_out)),
                "improvement_pct":
                    float(100 * (1 - np.mean(v_out) / max(np.mean(v_in), 1e-9))),
+               "prior_at_input": float(np.mean(pr_in)),
                "final_pose_pr": float(np.mean(pr_out))}
+        abl = ""
+        if den_nopr is not None:
+            row["v2v_out_noprior_cm"] = float(np.mean(v_nopr))
+            # positive = the field prior reduced the error vs the same solve
+            # without it
+            row["prior_v2v_gain_cm"] = row["v2v_out_noprior_cm"] - row["v2v_out_cm"]
+            row["prior_v2v_gain_pct"] = float(
+                100 * row["prior_v2v_gain_cm"]
+                / max(row["v2v_out_noprior_cm"], 1e-9))
+            abl = (f"  no-prior {row['v2v_out_noprior_cm']:7.3f} cm "
+                   f"(prior gain {row['prior_v2v_gain_cm']:+6.3f} cm)")
         grid.append(row)
         print(f"   sigma={sigma:<5}: v2v {row['v2v_input_cm']:7.3f} -> "
               f"{row['v2v_out_cm']:7.3f} cm  "
               f"({row['improvement_pct']:+6.1f}%)  "
-              f"prior at end {row['final_pose_pr']:.5f}", flush=True)
+              f"prior {row['prior_at_input']:.5f} -> "
+              f"{row['final_pose_pr']:.5f}{abl}", flush=True)
 
     result = {
         "preset": args.preset, "corpus": N, "queries": Q, "steps": STEPS,
         "batch": BATCH, "lr": LR, "specs": args.specs, "init": args.init,
-        "act": args.act, "beta": cfg.dfnet.beta, "recenter": args.recenter,
+        "act": args.act, "beta": cfg.dfnet.beta,
+        # --recenter only affects the plain 'he' init path; recording it for
+        # other inits would be misleading provenance
+        "recenter": args.recenter if args.init == "he" else None,
         "w_eikonal": args.w_eikonal, "fused": use_fused,
         "per_pose_noise": args.per_pose_noise,
+        "val_gate": val_gate,
+        "field_corr_final": round(final_corr, 4),
+        "field_corr_best": (round(best["corr"], 4)
+                            if val_gate and best["params"] is not None
+                            else None),
+        "best_step": best["step"] if val_gate else None,
         "label_s": round(t_label, 1), "train_s": round(t_train, 1),
         "field_mae": round(mae, 5), "field_corr": round(corr, 4),
         "field_live_frac": round(live_frac, 4),

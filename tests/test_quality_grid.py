@@ -29,7 +29,7 @@ def test_quality_grid_micro(tmp_path):
         sys.executable, SCRIPT, "--preset", "smoke", "--device", "cpu",
         "--corpus", "512", "--queries", "1024", "--steps", "30",
         "--batch", "256", "--clips", "1", "--frames", "6",
-        "--sigmas", "0.1", "--out", str(out),
+        "--sigmas", "0.1", "--ablate-prior", "--out", str(out),
     ]
     env = dict(os.environ)
     # the script forces the CPU backend itself (smoke preset); keep the
@@ -51,3 +51,15 @@ def test_quality_grid_micro(tmp_path):
     assert np.isfinite(row["v2v_input_cm"]) and row["v2v_input_cm"] > 0
     assert np.isfinite(row["v2v_out_cm"]) and row["v2v_out_cm"] > 0
     assert np.isfinite(row["final_pose_pr"])
+    assert np.isfinite(row["prior_at_input"])
+    # prior ablation: the zero-prior solve ran and the attribution fields
+    # are consistent
+    assert np.isfinite(row["v2v_out_noprior_cm"]) and row["v2v_out_noprior_cm"] > 0
+    assert row["prior_v2v_gain_cm"] == (
+        row["v2v_out_noprior_cm"] - row["v2v_out_cm"])
+    # val gating on by default: best retention fields recorded
+    assert result["val_gate"] is True
+    assert result["field_corr_best"] is None or np.isfinite(result["field_corr_best"])
+    assert result["best_step"] >= 0
+    # recenter provenance: only meaningful for --init he (default he-matched)
+    assert result["recenter"] is None
