@@ -195,8 +195,48 @@ inline int64_t draw_below(uint64_t seed, int64_t i, int64_t n) {
   return static_cast<int64_t>(z % static_cast<uint64_t>(n));
 }
 
+// gather prefetch lookahead (rows); sized so ~8 rows x ~6 lines of pending
+// prefetches stay well inside the load-miss queue
+#ifndef POSENDF_PF
+#define POSENDF_PF 8
+#endif
+constexpr int64_t kPrefetchAhead = POSENDF_PF;
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+// Copy one row with unaligned loads + non-temporal stores. The destination
+// batch buffer is written exactly once and read next by the DMA engine /
+// device transfer, so letting it allocate cache lines (regular stores RFO
+// the line first) both wastes half the store bandwidth and evicts the mmap'd
+// source pages the next gathers want. npz payloads sit at arbitrary byte
+// offsets (2 mod 4 measured), hence loadu on the source.
+inline void copy_row_stream(float* dst, const char* src, int64_t bytes) {
+  if ((reinterpret_cast<uintptr_t>(dst) & 15u) == 0) {
+    int64_t j = 0;
+    for (; j + 16 <= bytes; j += 16) {
+      __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(src + j));
+      _mm_stream_si128(reinterpret_cast<__m128i*>(
+                           reinterpret_cast<char*>(dst) + j), v);
+    }
+    if (j < bytes) std::memcpy(reinterpret_cast<char*>(dst) + j, src + j,
+                               bytes - j);
+  } else {
+    std::memcpy(dst, src, bytes);
+  }
+}
+#else
+inline void copy_row_stream(float* dst, const char* src, int64_t bytes) {
+  std::memcpy(dst, src, bytes);
+}
+#endif
+
 void parallel_for(int64_t n, int threads, const std::function<void(int64_t, int64_t)>& fn) {
   threads = std::max(1, threads);
+  // oversubscribing the machine makes gathers SLOWER (measured on a 1-vCPU
+  // host: threads=8 ran 1.5x slower than threads=1 — spawns + contention on
+  // a core that must also run the spawner); never exceed hardware threads
+  const unsigned hw = std::thread::hardware_concurrency();
+  if (hw > 0) threads = std::min<int>(threads, static_cast<int>(hw));
   // below ~4k items thread spawn overhead rivals the gather itself
   if (threads == 1 || n < 4096) { fn(0, n); return; }
   std::vector<std::thread> pool;
@@ -260,6 +300,17 @@ int pndf_sample_labeled(void* handle, int64_t n, uint64_t seed, int flip,
 
   parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
+      // random-row gathers are DRAM-latency-bound (rows land on ~6 distinct
+      // cache lines each); prefetching the row PF iterations ahead overlaps
+      // those misses with the current row's copy (draw_below is pure, so
+      // recomputing the future index costs two multiplies)
+      if (i + kPrefetchAhead < hi) {
+        const int64_t rf = draw_below(seed, i + kPrefetchAhead, rows);
+        const char* pf = pbase + rf * pe * 4;
+        for (int64_t off = 0; off < pe * 4; off += 64)
+          __builtin_prefetch(pf + off, 0, 2);
+        __builtin_prefetch(dbase + rf * ke * 4, 0, 2);
+      }
       const int64_t r = draw_below(seed, i, rows);
       const char* src = pbase + r * pe * 4;
       float* dst = poses_out + i * pe;
@@ -273,7 +324,7 @@ int pndf_sample_labeled(void* handle, int64_t n, uint64_t seed, int flip,
           dst[j + 3] = sign * ldf(src + (j + 3) * 4);
         }
       } else {
-        std::memcpy(dst, src, pe * sizeof(float));
+        copy_row_stream(dst, src, pe * 4);
       }
       const char* drow = dbase + r * ke * 4;
       float acc = 0.0f;
@@ -299,6 +350,12 @@ int pndf_sample_rows(void* handle, const char* key, int64_t n, uint64_t seed,
 
   parallel_for(n, threads, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
+      if (i + kPrefetchAhead < hi) {
+        const char* pf =
+            base + draw_below(seed, i + kPrefetchAhead, rows) * pe * 4;
+        for (int64_t off = 0; off < pe * 4; off += 64)
+          __builtin_prefetch(pf + off, 0, 2);
+      }
       const char* src = base + draw_below(seed, i, rows) * pe * 4;
       float* dst = out + i * pe;
       if (flip && pe % 4 == 0) {
@@ -312,6 +369,139 @@ int pndf_sample_rows(void* handle, const char* key, int64_t n, uint64_t seed,
       } else {
         std::memcpy(dst, src, pe * sizeof(float));
       }
+    }
+  });
+  return 0;
+}
+
+// Assemble one WHOLE training batch in a single call: B (labeled, manifold)
+// file pairs, P rows each, flat (B*P, ...) outputs. Replaces 2*B separate
+// pndf_sample_labeled/pndf_sample_rows calls — one ctypes crossing and ONE
+// thread fan-out per batch instead of 8 sequential spawn/join regions (the
+// reference amortizes this over 30 persistent worker processes,
+// model/load_data.py:76-85). Row draws are seeded per (file, item) exactly
+// like the per-file entry points, so the output is bit-identical to the
+// sequential calls for any thread count.
+//
+//   lab_handles[b]  open labeled npz (keys pose (N,pe), dist (N,k))
+//   man_handles[b]  open manifold npz (key pose (M,pe)); ignored when
+//                   ref_flip_quirk (the reference feeds the flipped noisy
+//                   rows back as man_poses, load_data.py:63)
+//   seeds[b]        per-file seed; manifold draws use seeds[b]^0xDEADBEEF
+//                   (the pipeline's published derivation)
+// Returns 0 on success; nonzero identifies the offending precondition.
+int pndf_assemble_batch(void* const* lab_handles, void* const* man_handles,
+                        const uint64_t* seeds, int64_t B, int64_t P,
+                        int flip, int ref_flip_quirk,
+                        float* poses_out, float* dist_out, float* man_out,
+                        int threads) {
+  if (B <= 0 || P <= 0) return 1;
+  struct PerFile {
+    const char* pbase; int64_t prows;
+    const char* dbase; int64_t ke;
+    const char* mbase; int64_t mrows;
+  };
+  std::vector<PerFile> tab(static_cast<size_t>(B));
+  int64_t pe = -1;
+  for (int64_t b = 0; b < B; ++b) {
+    auto* lf = static_cast<NpzFile*>(lab_handles[b]);
+    if (!lf) return 2;
+    auto pit = lf->arrays.find("pose");
+    auto dit = lf->arrays.find("dist");
+    if (pit == lf->arrays.end() || dit == lf->arrays.end()) return 2;
+    const NpyArray& pose = pit->second;
+    const NpyArray& dist = dit->second;
+    if (pose.dtype != 'f' || dist.dtype != 'f') return 3;
+    if (pe < 0) pe = pose.row_elems();
+    // all files feed one flat (B*P, pe) output — a row-width mismatch would
+    // silently interleave garbage
+    if (pose.row_elems() != pe || pe % 4 != 0 || pose.rows() <= 0) return 4;
+    if (dist.rows() != pose.rows() || dist.row_elems() <= 0) return 5;
+    tab[b].pbase = pose.data;
+    tab[b].prows = pose.rows();
+    tab[b].dbase = dist.data;
+    tab[b].ke = dist.row_elems();
+    if (ref_flip_quirk) {
+      tab[b].mbase = nullptr;
+      tab[b].mrows = 0;
+    } else {
+      auto* mf = static_cast<NpzFile*>(man_handles ? man_handles[b] : nullptr);
+      if (!mf) return 6;
+      auto mit = mf->arrays.find("pose");
+      if (mit == mf->arrays.end()) return 6;
+      const NpyArray& man = mit->second;
+      if (man.dtype != 'f' || man.row_elems() != pe || man.rows() <= 0)
+        return 7;
+      tab[b].mbase = man.data;
+      tab[b].mrows = man.rows();
+    }
+  }
+
+  parallel_for(B * P, threads, [&](int64_t lo, int64_t hi) {
+    int64_t b = lo / P, i = lo % P;
+    for (int64_t g = lo; g < hi; ++g) {
+      if (g + kPrefetchAhead < hi) {
+        const int64_t gf = g + kPrefetchAhead;
+        const PerFile& tf = tab[static_cast<size_t>(gf / P)];
+        const int64_t jf = gf % P;
+        const uint64_t sf = seeds[gf / P];
+        const char* pf =
+            tf.pbase + draw_below(sf, jf, tf.prows) * pe * 4;
+        for (int64_t off = 0; off < pe * 4; off += 64)
+          __builtin_prefetch(pf + off, 0, 2);
+        __builtin_prefetch(
+            tf.dbase + draw_below(sf, jf, tf.prows) * tf.ke * 4, 0, 2);
+        if (tf.mbase) {
+          const char* mf = tf.mbase +
+              draw_below(sf ^ 0xDEADBEEFull, jf, tf.mrows) * pe * 4;
+          for (int64_t off = 0; off < pe * 4; off += 64)
+            __builtin_prefetch(mf + off, 0, 2);
+        }
+      }
+      const PerFile& t = tab[static_cast<size_t>(b)];
+      const uint64_t seed = seeds[b];
+      const int64_t r = draw_below(seed, i, t.prows);
+      const char* src = t.pbase + r * pe * 4;
+      float* dst = poses_out + g * pe;
+      if (flip) {
+        for (int64_t j = 0; j < pe; j += 4) {
+          const float w = ldf(src + j * 4);
+          const float sign = w < 0.0f ? -1.0f : 1.0f;
+          dst[j] = sign * w;
+          dst[j + 1] = sign * ldf(src + (j + 1) * 4);
+          dst[j + 2] = sign * ldf(src + (j + 2) * 4);
+          dst[j + 3] = sign * ldf(src + (j + 3) * 4);
+        }
+      } else {
+        copy_row_stream(dst, src, pe * 4);
+      }
+      const char* drow = t.dbase + r * t.ke * 4;
+      float acc = 0.0f;
+      for (int64_t j = 0; j < t.ke; ++j) acc += ldf(drow + j * 4);
+      dist_out[g] = acc / static_cast<float>(t.ke);
+
+      float* mdst = man_out + g * pe;
+      if (ref_flip_quirk) {
+        // man_poses = the flipped noisy rows themselves (load_data.py:63);
+        // dst already holds them post-flip
+        std::memcpy(mdst, dst, pe * sizeof(float));
+      } else {
+        const int64_t rm = draw_below(seed ^ 0xDEADBEEFull, i, t.mrows);
+        const char* msrc = t.mbase + rm * pe * 4;
+        if (flip) {
+          for (int64_t j = 0; j < pe; j += 4) {
+            const float w = ldf(msrc + j * 4);
+            const float sign = w < 0.0f ? -1.0f : 1.0f;
+            mdst[j] = sign * w;
+            mdst[j + 1] = sign * ldf(msrc + (j + 1) * 4);
+            mdst[j + 2] = sign * ldf(msrc + (j + 2) * 4);
+            mdst[j + 3] = sign * ldf(msrc + (j + 3) * 4);
+          }
+        } else {
+          copy_row_stream(mdst, msrc, pe * 4);
+        }
+      }
+      if (++i == P) { i = 0; ++b; }
     }
   });
   return 0;

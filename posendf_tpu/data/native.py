@@ -17,7 +17,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["available", "NativeNpz", "build"]
+__all__ = ["available", "NativeNpz", "build", "assemble_batch",
+           "supports_assemble_batch"]
 
 def _lib_path() -> str:
     """Resolve libposendf_io.so: env override, repo layout (native/ next to
@@ -69,6 +70,17 @@ def _load_lib():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
+        # whole-batch entry point (newer .so builds); probe so an older
+        # library resolved via POSENDF_NATIVE_LIB degrades to per-file calls
+        if hasattr(lib, "pndf_assemble_batch"):
+            lib.pndf_assemble_batch.restype = ctypes.c_int
+            lib.pndf_assemble_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -145,11 +157,13 @@ class NativeNpz:
         return poses.reshape(n, pe // 4, 4), dist
 
     def sample_rows(self, key: str, n: int, seed: int, flip: bool = False,
-                    threads: int = 4) -> np.ndarray:
+                    threads: int = 4,
+                    out: Optional[np.ndarray] = None) -> np.ndarray:
         pe = self.row_elems(key)
         if pe < 0:
             raise KeyError(f"{key} not in {self.path}")
-        out = np.empty((n, pe), np.float32)
+        if out is None:
+            out = np.empty((n, pe), np.float32)
         rc = self._lib.pndf_sample_rows(
             self._handle(), key.encode(), n, seed & 0xFFFFFFFFFFFFFFFF, int(flip),
             _fptr(out, (n, pe)), threads)
@@ -167,3 +181,45 @@ class NativeNpz:
             self.close()
         except Exception:
             pass
+
+
+def supports_assemble_batch() -> bool:
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "pndf_assemble_batch")
+
+
+def assemble_batch(labeled: "list[NativeNpz]", manifold: "Optional[list[NativeNpz]]",
+                   seeds: "list[int]", num_pts: int, flip: bool,
+                   ref_flip_quirk: bool,
+                   poses_out: np.ndarray, dist_out: np.ndarray,
+                   man_out: np.ndarray, threads: int = 4) -> None:
+    """One whole training batch in a single native call (see
+    ``pndf_assemble_batch``): bit-identical to B sequential
+    ``sample_labeled`` + ``sample_rows(seed^0xDEADBEEF)`` pairs, but with one
+    ctypes crossing and one thread fan-out per batch.
+
+    ``manifold`` may be None only under ``ref_flip_quirk`` (the reference's
+    man_poses = flipped noisy rows, ``model/load_data.py:63``).
+    """
+    lib = _load_lib()
+    B = len(labeled)
+    if len(seeds) != B:
+        raise ValueError(f"{len(seeds)} seeds for {B} labeled files")
+    if not ref_flip_quirk and (manifold is None or len(manifold) != B):
+        raise ValueError("manifold handles required unless ref_flip_quirk")
+    pe = labeled[0].row_elems("pose")
+    lab_arr = (ctypes.c_void_p * B)(*[h._handle() for h in labeled])
+    man_arr = ((ctypes.c_void_p * B)(*[h._handle() for h in manifold])
+               if not ref_flip_quirk else None)
+    seed_arr = (ctypes.c_uint64 * B)(
+        *[s & 0xFFFFFFFFFFFFFFFF for s in seeds])
+    n = B * num_pts
+    rc = lib.pndf_assemble_batch(
+        lab_arr, man_arr, seed_arr, B, num_pts, int(flip),
+        int(ref_flip_quirk),
+        _fptr(poses_out, (n, pe)), _fptr(dist_out, (n,)),
+        _fptr(man_out, (n, pe)), threads)
+    if rc != 0:
+        raise RuntimeError(
+            f"pndf_assemble_batch failed rc={rc} "
+            f"(files: {[h.path for h in labeled]})")

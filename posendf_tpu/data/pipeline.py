@@ -73,6 +73,16 @@ class TrainingBatcher:
         falls back to ``*/*.npz`` with a warning (labeled files produced by
         this repo's own ``prepare-data`` keep their AMASS basenames). An
         explicit glob is used verbatim, no fallback.
+      buffer_pool: native path only — rotate batch output buffers through a
+        pool of this size instead of allocating ~20 MB fresh per batch
+        (fresh large allocs fault in thousands of pages every batch;
+        measured ~15-20% of assembly time at the 20k-pose reference batch).
+        LIFETIME CONTRACT when > 0: a returned batch's arrays are
+        OVERWRITTEN after `buffer_pool` further sample_batch calls — safe
+        for streaming consumers that device_put each batch before pulling
+        the next (``prefetch_to_device``'s worker does exactly that); unsafe
+        for callers that collect host batches in a list. 0 (default) =
+        fresh arrays every call.
     """
 
     def __init__(
@@ -89,6 +99,7 @@ class TrainingBatcher:
         subsets: Optional[Sequence[str]] = None,
         backend: str = "auto",
         native_threads: int = 4,
+        buffer_pool: int = 0,
     ):
         subsets = list(subsets) if subsets is not None else AMASS_SPLITS[split]
 
@@ -158,6 +169,9 @@ class TrainingBatcher:
         else:
             self._native = None
             self.backend = "numpy"
+        self.buffer_pool = int(buffer_pool)
+        self._buf_sets: Dict[tuple, list] = {}
+        self._buf_idx = 0
 
     def _native_open(self, path: str):
         # lock for dict consistency under concurrent sample_batch; evicted
@@ -274,9 +288,27 @@ class TrainingBatcher:
         uninitialized memory as training data (numpy path returns the short
         batch)."""
         B, P = len(lab_idx), self.num_pts
-        pose = np.empty((B * P, 21, 4), np.float32)
-        dist = np.empty((B * P,), np.float32)
-        man = np.empty((B * P, 21, 4), np.float32)
+        pose, dist, man = self._batch_buffers(B, P)
+        ref_quirk = self.flip and self.flip_mode == "reference"
+        if self._native.supports_assemble_batch():
+            # fused path: ONE native call assembles the whole batch (one
+            # ctypes crossing + one thread fan-out instead of 2*B); row
+            # draws are per-(file, item) seeded, so the result is
+            # bit-identical to the per-file loop below (tested)
+            seeds = [int(rng.integers(0, 2 ** 62)) for _ in range(B)]
+            labs = [self._native_open(self.files.labeled[li])
+                    for li in lab_idx]
+            # man_idx is always batch_size long but lab_idx may be a SHORT
+            # final epoch slice — truncate like the per-file loop's zip
+            mans = (None if ref_quirk else
+                    [self._native_open(self.files.manifold[mi])
+                     for mi in man_idx[:B]])
+            self._native.assemble_batch(
+                labs, mans, seeds, P, self.flip, ref_quirk,
+                pose.reshape(B * P, 84), dist, man.reshape(B * P, 84),
+                threads=self.native_threads)
+            return {"pose": pose, "dist": dist, "man_poses": man}
+        # per-file fallback (an older .so via POSENDF_NATIVE_LIB)
         for b, (li, mi) in enumerate(zip(lab_idx, man_idx)):
             seed = int(rng.integers(0, 2 ** 62))
             h = self._native_open(self.files.labeled[li])
@@ -284,16 +316,37 @@ class TrainingBatcher:
                                     threads=self.native_threads,
                                     poses_out=pose[b * P:(b + 1) * P].reshape(P, 84),
                                     dist_out=dist[b * P:(b + 1) * P])
-            if self.flip and self.flip_mode == "reference":
+            if ref_quirk:
                 # reference quirk (load_data.py:63): man_poses = the flipped
                 # noisy rows themselves
                 man[b * P:(b + 1) * P] = pose[b * P:(b + 1) * P]
             else:
                 hm = self._native_open(self.files.manifold[mi])
-                man[b * P:(b + 1) * P] = hm.sample_rows(
+                # gather straight into the batch slice (an intermediate
+                # array would add an alloc + a full extra copy per file)
+                hm.sample_rows(
                     "pose", P, seed ^ 0xDEADBEEF, flip=self.flip,
-                    threads=self.native_threads).reshape(P, 21, 4)
+                    threads=self.native_threads,
+                    out=man[b * P:(b + 1) * P].reshape(P, 84))
         return {"pose": pose, "dist": dist, "man_poses": man}
+
+    def _batch_buffers(self, B: int, P: int):
+        """Output buffers for one native batch: fresh arrays (buffer_pool=0)
+        or a rotating pool (see the constructor's lifetime contract)."""
+        if self.buffer_pool <= 0:
+            return (np.empty((B * P, 21, 4), np.float32),
+                    np.empty((B * P,), np.float32),
+                    np.empty((B * P, 21, 4), np.float32))
+        pool = self._buf_sets.setdefault((B, P), [])
+        if len(pool) < self.buffer_pool:
+            pool.append((np.empty((B * P, 21, 4), np.float32),
+                         np.empty((B * P,), np.float32),
+                         np.empty((B * P, 21, 4), np.float32)))
+            bufs = pool[-1]
+        else:
+            bufs = pool[self._buf_idx % len(pool)]
+        self._buf_idx += 1
+        return bufs
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
         """Deterministic per-epoch stream of len(self) batches (reproducible

@@ -243,3 +243,103 @@ def test_fallback_preserves_batch_stream(tmp_path):
     for g, r in zip(got, ref):
         for k in ("pose", "dist", "man_poses"):
             np.testing.assert_array_equal(g[k], r[k])
+
+
+class _PerFileNative:
+    """Shim that hides pndf_assemble_batch so the batcher exercises the
+    per-file fallback path (an older .so resolved via POSENDF_NATIVE_LIB)."""
+
+    NativeNpz = native.NativeNpz
+    available = staticmethod(native.available)
+
+    @staticmethod
+    def supports_assemble_batch():
+        return False
+
+
+@pytest.mark.parametrize("flip,flip_mode", [
+    (False, "reference"), (True, "reference"), (True, "corrected")])
+def test_assemble_batch_bit_identical_to_per_file(tmp_path, flip, flip_mode):
+    """The whole-batch native call must reproduce the 2*B sequential
+    per-file calls bit-for-bit in every flip mode — it shares their
+    per-(file, item) seeded draws, so any divergence is a bug."""
+    from posendf_tpu.data.pipeline import TrainingBatcher
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path))
+    assert native.supports_assemble_batch()
+    kw = dict(batch_size=3, num_pts=48, flip=flip, flip_mode=flip_mode,
+              backend="native", seed=11)
+    b_fused = TrainingBatcher(labeled, amass, **kw)
+    fused = [b_fused.sample_batch() for _ in range(3)]
+
+    b_seq = TrainingBatcher(labeled, amass, **kw)
+    b_seq._native = _PerFileNative()
+    seq = [b_seq.sample_batch() for _ in range(3)]
+
+    for f, s in zip(fused, seq):
+        for k in ("pose", "dist", "man_poses"):
+            np.testing.assert_array_equal(f[k], s[k])
+
+
+def test_assemble_batch_rejects_row_width_mismatch(tmp_path, npz_file):
+    """All files in one fused batch feed a single flat (B*P, pe) output;
+    a manifold file with a different pose row width must be rejected (a
+    silent gather would interleave garbage)."""
+    lab_path, _, _ = npz_file
+    rng = np.random.default_rng(1)
+    wide = tmp_path / "wide.npz"
+    np.savez(wide, pose=rng.normal(size=(50, 24, 4)).astype(np.float32))
+    lab = native.NativeNpz(lab_path)
+    man = native.NativeNpz(str(wide))
+    P = 16
+    pose = np.empty((P, 84), np.float32)
+    dist = np.empty((P,), np.float32)
+    out = np.empty((P, 84), np.float32)
+    with pytest.raises(RuntimeError, match="pndf_assemble_batch failed"):
+        native.assemble_batch([lab], [man], [3], P, False, False,
+                              pose, dist, out)
+    lab.close()
+    man.close()
+
+
+def test_assemble_batch_requires_manifold_unless_quirk(npz_file):
+    lab_path, _, _ = npz_file
+    lab = native.NativeNpz(lab_path)
+    P = 8
+    pose = np.empty((P, 84), np.float32)
+    dist = np.empty((P,), np.float32)
+    out = np.empty((P, 84), np.float32)
+    with pytest.raises(ValueError, match="manifold handles required"):
+        native.assemble_batch([lab], None, [3], P, False, False,
+                              pose, dist, out)
+    # under the reference flip quirk the manifold block is the flipped
+    # labeled block itself (model/load_data.py:63)
+    native.assemble_batch([lab], None, [3], P, True, True, pose, dist, out)
+    np.testing.assert_array_equal(out, pose)
+    assert (pose.reshape(P, 21, 4)[..., 0] >= 0).all()
+    lab.close()
+
+
+def test_buffer_pool_rotation_contract(tmp_path):
+    """buffer_pool=k returns the SAME arrays every k batches (the
+    documented overwrite contract) while pool=0 returns fresh arrays."""
+    from posendf_tpu.data.pipeline import TrainingBatcher
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path))
+    b = TrainingBatcher(labeled, amass, batch_size=2, num_pts=16,
+                        backend="native", seed=0, buffer_pool=2)
+    b0 = b.sample_batch()
+    b1 = b.sample_batch()
+    b2 = b.sample_batch()
+    assert b0["pose"] is not b1["pose"]
+    assert b2["pose"] is b0["pose"]  # rotated back after pool size
+    # pool contents differ per batch even when storage is shared
+    b_fresh = TrainingBatcher(labeled, amass, batch_size=2, num_pts=16,
+                              backend="native", seed=0, buffer_pool=0)
+    f0 = b_fresh.sample_batch()
+    f1 = b_fresh.sample_batch()
+    f2 = b_fresh.sample_batch()
+    assert f0["pose"] is not f1["pose"]
+    # b0's storage was overwritten by batch 2's content
+    np.testing.assert_array_equal(f2["pose"], b2["pose"])
+    np.testing.assert_array_equal(f1["pose"], b1["pose"])
