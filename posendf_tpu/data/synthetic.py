@@ -23,34 +23,77 @@ __all__ = [
 ]
 
 
-def manifold_family(rng: "np.random.Generator", num_joints: int = 21):
-    """Draw the parameters of one smooth 2-latent pose family: per-joint
-    rotation axes, latent frequencies and phases. Poses generated from the
-    same family lie on the same manifold (the thing the field learns)."""
+def manifold_family(rng: "np.random.Generator", num_joints: int = 21,
+                    latents: int = 2,
+                    freq_range: Tuple[float, float] = (0.5, 2.0)):
+    """Draw the parameters of one smooth ``latents``-parameter pose family:
+    per-joint rotation axes, latent frequencies and phases. Poses generated
+    from the same family lie on the same manifold (the thing the field
+    learns).
+
+    ``latents=2`` (default) returns the legacy 3-tuple
+    ``(axes (J,3), freq (J,2), phase (J,))`` — every round-3 artifact was
+    produced from it and stays reproducible. ``latents != 2`` returns a
+    4-tuple ``(axes, freq (J,L), phase (J,L), weights (L,))``; the weights
+    are ``1/sqrt(L)`` so the per-joint angle spread stays ~1 rad like the
+    2-latent family.
+
+    Why the knob exists: the manifold's INTRINSIC dimension controls the
+    clean 5-NN label floor at a given corpus size. On a 2-latent sheet even
+    a 4k-pose corpus is so dense the floor is ~0 and all label mass comes
+    from the noise offset (measured: labels are corpus-size-INDEPENDENT
+    from 4k to 131k); real AMASS (63-dof, ~1M poses) has a large
+    density-set floor. Higher ``latents`` reproduces that regime
+    synthetically."""
     axes = rng.normal(size=(num_joints, 3))
     axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
-    freq = rng.uniform(0.5, 2.0, size=(num_joints, 2))
-    phase = rng.uniform(0, 2 * np.pi, size=(num_joints,))
-    return axes, freq, phase
+    if latents == 2:
+        freq = rng.uniform(*freq_range, size=(num_joints, 2))
+        phase = rng.uniform(0, 2 * np.pi, size=(num_joints,))
+        return axes, freq, phase
+    freq = rng.uniform(*freq_range, size=(num_joints, latents))
+    phase = rng.uniform(0, 2 * np.pi, size=(num_joints, latents))
+    weights = np.full(latents, 1.0 / np.sqrt(latents))
+    return axes, freq, phase, weights
 
 
 def synthetic_manifold_poses(rng: np.random.Generator, n: int,
                              num_joints: int = 21, family=None) -> np.ndarray:
-    """Sample unit-quaternion poses from a smooth 2-parameter manifold:
+    """Sample unit-quaternion poses from a smooth low-dimensional manifold:
     each joint rotates about a fixed per-joint axis by an angle that is a
-    smooth function of two latent parameters. ``family=None`` draws a fresh
-    family from ``rng``. Returns (n, J, 4) float32."""
+    smooth function of the latent parameters (2 by default; see
+    ``manifold_family(latents=...)``). ``family=None`` draws a fresh family
+    from ``rng``. Returns (n, J, 4) float32."""
     if family is None:
         family = manifold_family(rng, num_joints)
-    u = rng.uniform(0, 2 * np.pi, size=n)
-    v = rng.uniform(0, 2 * np.pi, size=n)
-    return _poses_from_latents(family, u, v)
+    if len(family) == 3:
+        # legacy draw ORDER (u then v, two size-n draws) — seeded artifacts
+        # (golden checkpoint, round-3 grid runs) depend on this stream
+        u = rng.uniform(0, 2 * np.pi, size=n)
+        v = rng.uniform(0, 2 * np.pi, size=n)
+        return _poses_from_latents(family, np.stack([u, v], axis=-1))
+    L = family[1].shape[1]
+    z = rng.uniform(0, 2 * np.pi, size=(n, L))
+    return _poses_from_latents(family, z)
 
 
-def _poses_from_latents(rng_params, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    axes, freq, phase = rng_params
-    angle = 0.6 * np.sin(freq[None, :, 0] * u[:, None] + phase[None, :]) \
-        + 0.4 * np.cos(freq[None, :, 1] * v[:, None])
+def _poses_from_latents(family, z: np.ndarray,
+                        v: "np.ndarray | None" = None) -> np.ndarray:
+    """Poses from latent coordinates. Legacy call shape
+    ``(family3, u, v)`` and the general ``(family, z (n, L))`` both work;
+    the legacy 2-latent math is kept bit-for-bit (round-3 artifacts)."""
+    if v is not None:
+        z = np.stack([np.asarray(z), np.asarray(v)], axis=-1)
+    z = np.atleast_2d(np.asarray(z))
+    if len(family) == 3:
+        axes, freq, phase = family
+        angle = (0.6 * np.sin(freq[None, :, 0] * z[:, 0:1] + phase[None, :])
+                 + 0.4 * np.cos(freq[None, :, 1] * z[:, 1:2]))
+    else:
+        axes, freq, phase, weights = family
+        # (n, 1, L) broadcast against (1, J, L), weighted sum over latents
+        angle = np.sum(weights[None, None, :] * np.sin(
+            freq[None, :, :] * z[:, None, :] + phase[None, :, :]), axis=-1)
     half = 0.5 * angle
     w = np.cos(half)[..., None]
     xyz = np.sin(half)[..., None] * axes[None]
@@ -59,16 +102,25 @@ def _poses_from_latents(rng_params, u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 def synthetic_motion_sequence(rng: np.random.Generator, frames: int,
                               num_joints: int = 21, family=None) -> np.ndarray:
-    """A temporally SMOOTH pose sequence on the synthetic manifold: the two
+    """A temporally SMOOTH pose sequence on the synthetic manifold: the
     latent parameters follow slow sinusoidal trajectories over time, so
     adjacent frames are similar — the property real mocap has and the
     temporal loss in motion denoising depends on. Returns (frames, J, 4)."""
     if family is None:
         family = manifold_family(rng, num_joints)
     t = np.linspace(0, 1, frames)
-    u = np.pi * (1 + np.sin(2 * np.pi * 0.4 * t + rng.uniform(0, 2 * np.pi)))
-    v = np.pi * (1 + np.cos(2 * np.pi * 0.3 * t + rng.uniform(0, 2 * np.pi)))
-    return _poses_from_latents(family, u, v)
+    if len(family) == 3:
+        u = np.pi * (1 + np.sin(2 * np.pi * 0.4 * t + rng.uniform(0, 2 * np.pi)))
+        v = np.pi * (1 + np.cos(2 * np.pi * 0.3 * t + rng.uniform(0, 2 * np.pi)))
+        return _poses_from_latents(family, u, v)
+    L = family[1].shape[1]
+    # slow per-latent sinusoids, distinct rates so the path explores the
+    # manifold instead of tracing a closed 1-d loop
+    rates = rng.uniform(0.2, 0.5, size=L)
+    phases = rng.uniform(0, 2 * np.pi, size=L)
+    z = np.pi * (1 + np.sin(2 * np.pi * rates[None, :] * t[:, None]
+                            + phases[None, :]))
+    return _poses_from_latents(family, z)
 
 
 def _geodesic(a: np.ndarray, b: np.ndarray) -> np.ndarray:

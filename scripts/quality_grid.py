@@ -40,15 +40,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def gentle_family(seed=123, lo=0.15, hi=0.4):
-    """Low-frequency 2-latent pose family: the manifold is a gentle sheet in
-    pose space, so the nearest manifold point to (gt + noise) is near gt."""
-    r = np.random.default_rng(seed)
-    axes = r.normal(size=(21, 3))
-    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
-    freq = r.uniform(lo, hi, size=(21, 2))
-    phase = r.uniform(0, 2 * np.pi, size=21)
-    return axes, freq, phase
+def gentle_family(seed=123, lo=0.15, hi=0.4, latents=2):
+    """Low-frequency pose family: the manifold is a gentle sheet in pose
+    space, so the nearest manifold point to (gt + noise) is near gt.
+
+    ``latents`` sets the manifold's INTRINSIC dimension, which is what
+    controls the clean 5-NN label floor at a given corpus size (measured:
+    on the 2-latent sheet the floor is corpus-size-INDEPENDENT noise
+    residue ~1e-4 from 4k to 131k poses; real AMASS, with ~50 effective
+    dof over ~1M poses, has a density-set floor orders larger). Delegates
+    to ``manifold_family`` — for latents=2 the draw stream is bit-identical
+    to the legacy inline construction, so every round-3 artifact stays
+    reproducible."""
+    from posendf_tpu.data.synthetic import manifold_family
+
+    return manifold_family(np.random.default_rng(seed), 21,
+                           latents=latents, freq_range=(lo, hi))
 
 
 def main():
@@ -67,6 +74,19 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--sigmas", type=float, nargs="+",
                     default=[0.01, 0.05, 0.1, 0.5])
+    ap.add_argument("--latents", type=int, default=2,
+                    help="intrinsic dimension of the synthetic manifold. "
+                         "2 = the round-3 family (bit-identical artifacts); "
+                         "higher values raise the clean 5-NN label floor "
+                         "toward the real-AMASS regime so the trained field "
+                         "resolves the small-sigma end of the grid instead "
+                         "of reading d=0 (ARCHITECTURE §7)")
+    ap.add_argument("--freq", type=float, nargs=2, default=[0.15, 0.4],
+                    metavar=("LO", "HI"),
+                    help="per-joint latent frequency range; higher = more "
+                         "curvature = larger label floor but a less gentle "
+                         "manifold (the NN of a noisy pose drifts from its "
+                         "clean source)")
     ap.add_argument("--per-pose-noise", action="store_true",
                     help="corrected per-pose noise draws instead of the "
                          "reference's shared-per-group draw")
@@ -174,7 +194,8 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     print(f"== devices: {jax.devices()}  corpus={N} queries={Q} "
           f"steps={STEPS} batch={BATCH}", flush=True)
-    family = gentle_family()
+    family = gentle_family(lo=args.freq[0], hi=args.freq[1],
+                           latents=args.latents)
     rng = np.random.default_rng(0)
 
     # ---- 1. manufacture: corpus + exact-kNN-labeled noisy training set ----
@@ -184,12 +205,17 @@ def main():
     cache = args.label_cache
     if cache and os.path.exists(cache):
         z = np.load(cache)
+        cache_latents = int(z["latents"]) if "latents" in z else 2
+        cache_freq = (list(z["freq"]) if "freq" in z else [0.15, 0.4])
         if (int(z["corpus_n"]) != N or int(z["queries_n"]) != Q
-                or bool(z["per_pose_noise"]) != args.per_pose_noise):
+                or bool(z["per_pose_noise"]) != args.per_pose_noise
+                or cache_latents != args.latents
+                or cache_freq != list(args.freq)):
             raise SystemExit(f"label cache {cache} was built for corpus="
                              f"{int(z['corpus_n'])} queries="
                              f"{int(z['queries_n'])} per_pose_noise="
-                             f"{bool(z['per_pose_noise'])}")
+                             f"{bool(z['per_pose_noise'])} latents="
+                             f"{cache_latents} freq={cache_freq}")
         q_pose = jnp.asarray(z["q_pose"])
         q_dist = jnp.asarray(z["q_dist"])
         h_pose = jnp.asarray(z["h_pose"])
@@ -224,6 +250,7 @@ def main():
         if cache:
             np.savez(cache, corpus_n=N, queries_n=Q,
                      per_pose_noise=args.per_pose_noise,
+                     latents=args.latents, freq=np.asarray(args.freq),
                      q_pose=np.asarray(q_pose), q_dist=np.asarray(q_dist),
                      h_pose=np.asarray(h_pose), h_dist=h_dist)
             print(f"== label cache written: {cache}", flush=True)
@@ -484,6 +511,7 @@ def main():
 
     result = {
         "preset": args.preset, "corpus": N, "queries": Q, "steps": STEPS,
+        "latents": args.latents, "freq": list(args.freq),
         "batch": BATCH, "lr": LR, "specs": args.specs, "init": args.init,
         "act": args.act, "beta": cfg.dfnet.beta,
         # --recenter only affects the plain 'he' init path; recording it for

@@ -105,6 +105,48 @@ def test_profiling_utils(tmp_path):
         pass
 
 
+def test_manifold_family_latents():
+    """The generalized L-latent manifold family (ARCHITECTURE §7: intrinsic
+    dimension sets the clean 5-NN label floor; the 2-latent default must
+    stay bit-identical so seeded round-3 artifacts reproduce)."""
+    from posendf_tpu.data.synthetic import (manifold_family,
+                                            synthetic_manifold_poses,
+                                            synthetic_motion_sequence)
+
+    # latents=2 reproduces the legacy inline construction draw-for-draw
+    r = np.random.default_rng(123)
+    axes = r.normal(size=(21, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    freq = r.uniform(0.15, 0.4, size=(21, 2))
+    phase = r.uniform(0, 2 * np.pi, size=21)
+    a2, f2, p2 = manifold_family(np.random.default_rng(123), 21,
+                                 latents=2, freq_range=(0.15, 0.4))
+    assert np.array_equal(axes, a2)
+    assert np.array_equal(freq, f2)
+    assert np.array_equal(phase, p2)
+
+    # ...and the legacy pose stream too (golden-checkpoint reproducibility)
+    fam = manifold_family(np.random.default_rng(5), 21)
+    legacy = synthetic_manifold_poses(np.random.default_rng(9), 8, family=fam)
+    again = synthetic_manifold_poses(np.random.default_rng(9), 8, family=fam)
+    assert np.array_equal(legacy, again)
+
+    # general-L family: unit quaternions, smooth sequences, weights 1/sqrt(L)
+    for L in (1, 4, 6):
+        famL = manifold_family(np.random.default_rng(7), 21, latents=L,
+                               freq_range=(0.3, 0.8))
+        assert famL[1].shape == (21, L) and famL[2].shape == (21, L)
+        assert np.allclose(famL[3], 1.0 / np.sqrt(L))
+        poses = synthetic_manifold_poses(np.random.default_rng(1), 16,
+                                         family=famL)
+        assert poses.shape == (16, 21, 4)
+        assert np.allclose(np.linalg.norm(poses, axis=-1), 1.0, atol=1e-6)
+        seq = synthetic_motion_sequence(np.random.default_rng(2), 24,
+                                        family=famL)
+        adj = 1.0 - np.abs(np.einsum("fjd,fjd->fj", seq[1:], seq[:-1]))
+        assert adj.max() < 0.1  # temporally smooth (the property denoise needs)
+
+
 def test_labeler_metric_variants(rng):
     from posendf_tpu.data.prepare import label_sequence
     from posendf_tpu.data.synthetic import synthetic_manifold_poses

@@ -30,6 +30,9 @@ def test_quality_grid_micro(tmp_path):
         "--corpus", "512", "--queries", "1024", "--steps", "30",
         "--batch", "256", "--clips", "1", "--frames", "6",
         "--sigmas", "0.1", "--ablate-prior", "--out", str(out),
+        # cover the generalized manifold family (the run-of-record uses a
+        # higher intrinsic dimension so labels span the sigma grid)
+        "--latents", "4", "--freq", "0.3", "0.8",
     ]
     env = dict(os.environ)
     # the script forces the CPU backend itself (smoke preset); keep the
@@ -63,3 +66,5 @@ def test_quality_grid_micro(tmp_path):
     assert result["best_step"] >= 0
     # recenter provenance: only meaningful for --init he (default he-matched)
     assert result["recenter"] is None
+    # manifold-family provenance recorded
+    assert result["latents"] == 4 and result["freq"] == [0.3, 0.8]
