@@ -138,6 +138,12 @@ def main():
     ap.add_argument("--save-ckpt", default=None,
                     help="msgpack path to save the trained params (the "
                          "val-gated best when --val-gate is on)")
+    ap.add_argument("--load-ckpt", default=None,
+                    help="msgpack path of a previous --save-ckpt: skip init "
+                         "tweaks and training entirely and run the field "
+                         "eval + denoise grid on the saved params (e.g. "
+                         "docs/quality/ckpt_l8_best.msgpack — pass the SAME "
+                         "--latents/--freq the checkpoint was trained on)")
     ap.add_argument("--no-val-gate", action="store_true",
                     help="disable validation-gated best retention. Default "
                          "ON: every training chunk the held-out distance "
@@ -265,12 +271,26 @@ def main():
     use_fused = on_tpu and args.act in ("lrelu", "relu")
     module = cfg.make_model()
     params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    if args.load_ckpt:
+        # denoise-grid-only mode: reuse a trained field (the --save-ckpt
+        # payload layout) and skip init tweaks + training below via STEPS=0
+        from flax import serialization as fser
+
+        with open(args.load_ckpt, "rb") as f:
+            payload = fser.from_bytes(
+                {"epoch": 0, "state": {"params": params}}, f.read())
+        params = jax.device_put(payload["state"]["params"])
+        STEPS = 0
+        print(f"== loaded trained params from {args.load_ckpt} "
+              f"(trained to step {payload['epoch']})", flush=True)
     # live output head (models/dfnet.py live_head rationale): the default
     # torch-parity init can start with a dead final ReLU
     _bL = 1 + max(int(k[1:]) for k in params["dfnet"] if k[0] == "w")
-    params = dict(params, dfnet=dict(
-        params["dfnet"], **{f"b{_bL-1}": params["dfnet"][f"b{_bL-1}"] + 0.1}))
-    if args.init == "he-matched":
+    if not args.load_ckpt:
+        params = dict(params, dfnet=dict(
+            params["dfnet"],
+            **{f"b{_bL-1}": params["dfnet"][f"b{_bL-1}"] + 0.1}))
+    if args.init == "he-matched" and not args.load_ckpt:
         # The production recipe (probe of record: field corr 0.81, live
         # 37.5% where every plain-init run collapsed to the dead-zero
         # field). Rationale + measurements: training/init_utils.py.
@@ -282,7 +302,7 @@ def main():
               f"{st['z_std']:.4f} -> scaled x{st['scale']:.4f}, head bias "
               f"{st['new_bias']:+.4f} (labels {st['label_mean']:.4f} +- "
               f"{st['label_std']:.4f})", flush=True)
-    elif args.init == "he":
+    elif args.init == "he" and not args.load_ckpt:
         from posendf_tpu.training import he_gain
 
         params = he_gain(params)
@@ -371,8 +391,10 @@ def main():
 
     t0 = time.perf_counter()
     chunks = []
-    n_chunks = (STEPS + CHUNK - 1) // CHUNK
-    for ci, ck in enumerate(jax.random.split(jax.random.key(3), n_chunks)):
+    n_chunks = (STEPS + CHUNK - 1) // CHUNK if STEPS else 0
+    for ci, ck in enumerate(
+            jax.random.split(jax.random.key(3), n_chunks) if n_chunks
+            else []):
         n = min(CHUNK, STEPS - ci * CHUNK)
         progress = ci / n_chunks
         wman = next(w for frac, w in CURRICULUM if progress < frac)
@@ -391,21 +413,24 @@ def main():
             print(f"   chunk {ci + 1}/{n_chunks} (w_man={wman}): "
                   + " ".join(f"{k}={chunks[-1][k][-1]:.5f}"
                              for k in sorted(chunks[-1])) + gate, flush=True)
-    metrics = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
-    losses = metrics["total"]
     t_train = time.perf_counter() - t0
-    print(f"== trained {STEPS} steps x {BATCH} poses in {t_train:.1f}s "
-          f"(loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
-          f"{STEPS * BATCH / t_train / 1e6:.1f}M poses/s incl. compile)",
-          flush=True)
-    # trajectory: a dead ReLU head shows as man_loss == 0 exactly while the
-    # dist term sticks at the label mean (models/dfnet.py live_head rationale)
-    for k in sorted(metrics):
-        tr = metrics[k]
-        pts = [tr[max(0, min(len(tr) - 1, int(f * len(tr))))]
-               for f in (0.0, 0.1, 0.25, 0.5, 0.75, 1.0)]
-        print(f"   {k:>10}: " + " -> ".join(f"{p:.5f}" for p in pts),
+    if chunks:
+        metrics = {k: np.concatenate([c[k] for c in chunks])
+                   for k in chunks[0]}
+        losses = metrics["total"]
+        print(f"== trained {STEPS} steps x {BATCH} poses in {t_train:.1f}s "
+              f"(loss {losses[0]:.4f} -> {losses[-1]:.4f}; "
+              f"{STEPS * BATCH / t_train / 1e6:.1f}M poses/s incl. compile)",
               flush=True)
+        # trajectory: a dead ReLU head shows as man_loss == 0 exactly while
+        # the dist term sticks at the label mean (models/dfnet.py live_head
+        # rationale)
+        for k in sorted(metrics):
+            tr = metrics[k]
+            pts = [tr[max(0, min(len(tr) - 1, int(f * len(tr))))]
+                   for f in (0.0, 0.1, 0.25, 0.5, 0.75, 1.0)]
+            print(f"   {k:>10}: " + " -> ".join(f"{p:.5f}" for p in pts),
+                  flush=True)
 
     # ---- 3. field quality on held-out noisy poses ------------------------
     final_corr = held_corr(params)
@@ -512,7 +537,9 @@ def main():
     result = {
         "preset": args.preset, "corpus": N, "queries": Q, "steps": STEPS,
         "latents": args.latents, "freq": list(args.freq),
-        "batch": BATCH, "lr": LR, "specs": args.specs, "init": args.init,
+        "batch": BATCH, "lr": LR, "specs": args.specs,
+        "init": "loaded" if args.load_ckpt else args.init,
+        "loaded_ckpt": args.load_ckpt,
         "act": args.act, "beta": cfg.dfnet.beta,
         # --recenter only affects the plain 'he' init path; recording it for
         # other inits would be misleading provenance

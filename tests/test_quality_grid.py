@@ -33,6 +33,7 @@ def test_quality_grid_micro(tmp_path):
         # cover the generalized manifold family (the run-of-record uses a
         # higher intrinsic dimension so labels span the sigma grid)
         "--latents", "4", "--freq", "0.3", "0.8",
+        "--save-ckpt", str(tmp_path / "qg.msgpack"),
     ]
     env = dict(os.environ)
     # the script forces the CPU backend itself (smoke preset); keep the
@@ -68,3 +69,27 @@ def test_quality_grid_micro(tmp_path):
     assert result["recenter"] is None
     # manifold-family provenance recorded
     assert result["latents"] == 4 and result["freq"] == [0.3, 0.8]
+
+    # --load-ckpt: re-run the grid from the saved params WITHOUT training
+    # (how docs/quality/ckpt_l8_best.msgpack is consumed) — field eval must
+    # reproduce the trained field exactly
+    out2 = tmp_path / "qg_loaded.json"
+    cmd2 = [
+        sys.executable, SCRIPT, "--preset", "smoke", "--device", "cpu",
+        "--corpus", "512", "--queries", "1024", "--steps", "30",
+        "--batch", "256", "--clips", "1", "--frames", "6",
+        "--sigmas", "0.1", "--out", str(out2),
+        "--latents", "4", "--freq", "0.3", "0.8",
+        "--load-ckpt", str(tmp_path / "qg.msgpack"),
+    ]
+    proc = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout + "\n" + proc.stderr
+    loaded = json.loads(out2.read_text())
+    assert loaded["steps"] == 0 and loaded["train_s"] == 0.0
+    assert loaded["init"] == "loaded"
+    assert loaded["loaded_ckpt"].endswith("qg.msgpack")
+    # same params + same held-out labels (seeded) -> identical field eval
+    assert loaded["field_mae"] == result["field_mae"]
+    (lrow,) = loaded["grid"]
+    assert np.isfinite(lrow["v2v_out_cm"]) and lrow["v2v_out_cm"] > 0
