@@ -222,7 +222,7 @@ def cmd_fit_image(args):
 
 
 def cmd_denoise_bench(args):
-    from posendf_tpu.experiments.denoise import MotionDenoiser
+    from posendf_tpu.experiments.denoise import BALANCED_SPECS, MotionDenoiser
     from posendf_tpu.experiments.denoise_benchmark import run_sweep, synthesize_grid
     from posendf_tpu.smpl import BodyModel
 
@@ -233,7 +233,8 @@ def cmd_denoise_bench(args):
     if args.synthesize:
         data_root = synthesize_grid(args.data_root, seqs_per_level=args.seqs_per_level,
                                     family_seed=args.family_seed)
-    denoiser = MotionDenoiser(module, params, bm)
+    specs = BALANCED_SPECS if args.specs == "balanced" else None
+    denoiser = MotionDenoiser(module, params, bm, specs=specs)
     run_sweep(denoiser, data_root, iterations=args.iterations,
               steps_per_iter=args.steps_per_iter, out_path=args.out)
 
@@ -326,6 +327,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gt-data", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None, help="SMPL model file (.pkl/.npz)")
+    p.add_argument("--specs", choices=("reference", "balanced"),
+                   default="reference",
+                   help="anneal schedule: 'reference' = motion_denoise.py:31-34"
+                        " exact; 'balanced' = gentler prior/temporal weights "
+                        "for near-manifold inputs (measured decomposition in "
+                        "docs/ARCHITECTURE.md §7)")
     _add_mesh_out(p, "./denoised")
     p.set_defaults(fn=cmd_denoise)
 
@@ -368,6 +375,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seqs-per-level", type=int, default=2)
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--steps-per-iter", type=int, default=50)
+    p.add_argument("--specs", choices=("reference", "balanced"),
+                   default="reference",
+                   help="anneal schedule for every solve in the sweep "
+                        "(see `denoise --specs`)")
     p.add_argument("--bm-path", default=None)
     p.add_argument("--out", default=None, help="aggregate results .npz")
     p.set_defaults(fn=cmd_denoise_bench)

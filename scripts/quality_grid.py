@@ -191,8 +191,7 @@ def main():
     from posendf_tpu.data.prepare import label_sequence
     from posendf_tpu.data.synthetic import (synthetic_manifold_poses,
                                             synthetic_motion_sequence)
-    from posendf_tpu.experiments import AnnealSpec, MotionDenoiser
-    from posendf_tpu.experiments.denoise import DENOISE_SPECS
+    from posendf_tpu.experiments import MotionDenoiser
     from posendf_tpu.quat import quaternion_to_axis_angle
     from posendf_tpu.smpl import BodyModel
     from posendf_tpu.training.trainer import make_optimizer, make_train_step
@@ -466,11 +465,11 @@ def main():
     if args.specs == "reference":
         specs = None  # MotionDenoiser default = DENOISE_SPECS (reference)
     else:
-        specs = {
-            "pose_pr": AnnealSpec(scale=1e4, power=2, anneal=-1.0),
-            "temp": AnnealSpec(scale=1.0, power=1, anneal=+1.0),
-            "data": AnnealSpec(scale=100.0, power=1, anneal=-1.0),
-        }
+        # the library's gentler schedule (cli denoise --specs balanced);
+        # measured decomposition: docs/quality/run_l8_balanced_solve.json
+        from posendf_tpu.experiments.denoise import BALANCED_SPECS
+
+        specs = dict(BALANCED_SPECS)
     den = MotionDenoiser(module, params, body, specs=specs)
     den_nopr = None
     if args.ablate_prior:

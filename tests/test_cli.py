@@ -48,6 +48,23 @@ def test_denoise(tmp_path, capsys):
     assert "v2v_vs_input_cm" in capsys.readouterr().out
 
 
+def test_denoise_balanced_specs(tmp_path, capsys):
+    """--specs balanced selects the library's gentler schedule
+    (BALANCED_SPECS; measured decomposition in docs/ARCHITECTURE.md §7)."""
+    from posendf_tpu.experiments.denoise import BALANCED_SPECS, DENOISE_SPECS
+
+    # the alternative schedule really is different where it matters
+    assert BALANCED_SPECS["pose_pr"].scale < DENOISE_SPECS["pose_pr"].scale
+    assert BALANCED_SPECS["temp"].scale < DENOISE_SPECS["temp"].scale
+    rng = np.random.default_rng(3)
+    motion = str(tmp_path / "motion.npz")
+    np.savez(motion,
+             pose_body=rng.normal(scale=0.05, size=(2, 63)).astype(np.float32))
+    main(["denoise", "-c", CFG, "--motion-data", motion,
+          "--specs", "balanced"])
+    assert "v2v_vs_input_cm" in capsys.readouterr().out
+
+
 def test_partial(tmp_path, capsys):
     rng = np.random.default_rng(1)
     motion = str(tmp_path / "motion.npz")
