@@ -96,7 +96,14 @@ def cmd_train(args):
                 batch_size=cfg.train.batch_size, num_pts=cfg.train.num_pts,
                 flip=cfg.train.flip,
             )
-        except FileNotFoundError:
+        except FileNotFoundError as e:
+            if args.early_stop_patience is not None:
+                # the flag's whole point is the erosion guardrail; degrading
+                # it to an unvalidated full-length run would be a silent no-op
+                raise SystemExit(
+                    "--early-stop-patience requires validation data, but no "
+                    f"vald-split files were found ({e}); provide a vald split "
+                    "under data.data_dir or drop the flag") from e
             print("experiment.val=True but no vald-split data found; skipping validation")
     trainer = Trainer(cfg, mesh=mesh, config_path=args.config)
     if args.matched_head_init:
@@ -159,22 +166,18 @@ def cmd_generate(args):
     if args.save_mesh or args.render:
         # mesh/render output like the reference projection script
         # (sample_poses.py:59-62,79-82): SMPL forward on init + result poses
-        import os as _os
-
-        from posendf_tpu.experiments.render import render_meshes, save_meshes
+        from posendf_tpu.experiments.render import export_pose_meshes
         from posendf_tpu.quat import quaternion_to_axis_angle
         from posendf_tpu.smpl import BodyModel
 
         bm = BodyModel(bm_path=args.bm_path) if args.bm_path else BodyModel()
         out_dir = args.mesh_dir or "./generated"
-        _os.makedirs(out_dir, exist_ok=True)
-        for prefix, quats in (("init", noisy), ("out", out)):
-            aa = quaternion_to_axis_angle(quats).reshape(args.num_poses, 63)
-            res = bm(pose_body=aa)
-            if args.save_mesh:
-                save_meshes(out_dir, np.asarray(res.vertices), res.faces, prefix=prefix)
-            if args.render:
-                render_meshes(out_dir, np.asarray(res.vertices), res.faces, prefix=prefix)
+
+        def aa(quats):
+            return quaternion_to_axis_angle(quats).reshape(args.num_poses, 63)
+
+        export_pose_meshes(out_dir, bm, [("init", aa(noisy)), ("out", aa(out))],
+                           save_mesh=args.save_mesh, render=args.render)
         print(f"wrote meshes/renders -> {out_dir}")
 
 

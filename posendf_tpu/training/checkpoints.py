@@ -128,9 +128,19 @@ class CheckpointStore:
     # finding that longer training can silently erode field quality
     # (held-out corr 0.961 @ 4k steps -> 0.359 @ 12k, docs/quality/).
 
+    def _best_target(self) -> str:
+        return (self._orbax_dir("best") if self.backend == "orbax"
+                else os.path.join(self.directory, BEST))
+
     def best_info(self) -> Optional[Dict[str, Any]]:
         """{'epoch': int, 'metric': float, 'mode': str} of the stored best
-        checkpoint, or None if no best has been saved."""
+        checkpoint, or None if no best has been saved.
+
+        The sidecar JSON carries a stamp of the weights file it describes;
+        a crash between the two ``os.replace`` calls in ``save_best`` can
+        leave them desynced, and a meta that does not match the weights on
+        disk is treated as absent (the next ``save_best`` then rewrites
+        both) rather than mis-attributing a metric to the wrong weights."""
         import json
 
         path = os.path.join(self.directory, BEST_META)
@@ -138,9 +148,19 @@ class CheckpointStore:
             return None
         try:
             with open(path) as f:
-                return json.load(f)
+                info = json.load(f)
         except (OSError, ValueError):
             return None
+        stamp = info.pop("stamp", None)
+        if stamp is not None:
+            try:
+                st = os.stat(self._best_target())
+            except OSError:
+                return None
+            if (int(stamp.get("mtime_ns", -1)) != st.st_mtime_ns
+                    or int(stamp.get("size", -1)) != st.st_size):
+                return None
+        return info
 
     def save_best(self, state: Dict[str, Any], epoch: int, metric: float,
                   mode: str = "min") -> Optional[str]:
@@ -176,9 +196,14 @@ class CheckpointStore:
                 f.write(fser.to_bytes(payload))
             os.replace(tmp, path)
         meta_tmp = os.path.join(self.directory, BEST_META + ".tmp")
+        st = os.stat(self._best_target())
         with open(meta_tmp, "w") as f:
             json.dump({"epoch": int(epoch), "metric": float(metric),
-                       "mode": mode}, f)
+                       "mode": mode,
+                       # ties this meta to the exact weights it describes
+                       # (best_info invalidates on mismatch)
+                       "stamp": {"mtime_ns": st.st_mtime_ns,
+                                 "size": st.st_size}}, f)
         os.replace(meta_tmp, os.path.join(self.directory, BEST_META))
         return path
 

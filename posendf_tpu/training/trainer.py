@@ -374,6 +374,8 @@ class Trainer:
         """
         from posendf_tpu.data.pipeline import prefetch_to_device
 
+        if val_batcher is not None and val_every < 1:
+            raise ValueError(f"val_every must be >= 1, got {val_every}")
         stale = 0
         for _ in range(epochs):
             stream = prefetch_to_device(batcher.epoch(self.epoch), self.batch_sharding)
@@ -394,10 +396,20 @@ class Trainer:
                 vstats = self.validate(
                     val_batcher.sample_batch() for _ in range(n))
                 metric = float(vstats[val_metric])
-                state = {"params": jax.device_get(self.params),
-                         "opt_state": jax.device_get(self.opt_state)}
-                saved = self.store.save_best(state, self.epoch - 1, metric,
-                                             mode=val_mode)
+                # compare BEFORE pulling state off the device: params +
+                # opt_state is megabytes, and over the relay (~10 MB/s,
+                # CLAUDE.md) a non-improving validation must not pay for a
+                # download that save_best would immediately discard
+                info = self.store.best_info()
+                improved = info is None or (
+                    metric < float(info["metric"]) if val_mode == "min"
+                    else metric > float(info["metric"]))
+                saved = None
+                if improved:
+                    state = {"params": jax.device_get(self.params),
+                             "opt_state": jax.device_get(self.opt_state)}
+                    saved = self.store.save_best(state, self.epoch - 1,
+                                                 metric, mode=val_mode)
                 if saved is not None:
                     stale = 0
                     print(f"val epoch {self.epoch - 1}: {val_metric}="

@@ -433,12 +433,14 @@ def main():
 
     # ---- 3. field quality on held-out noisy poses ------------------------
     final_corr = held_corr(params)
+    trained_step = STEPS  # which step the params-of-record come from
     if val_gate and best["params"] is not None and best["corr"] > final_corr:
         print(f"== val gate: final corr {final_corr:.3f} < best "
               f"{best['corr']:.3f} @ step {best['step']} — using the "
               "retained best params (training-length erosion survived)",
               flush=True)
         params = jax.device_put(best["params"])
+        trained_step = best["step"]
     pred = np.asarray(eval_fn(params, h_pose)).ravel()
     mae = float(np.mean(np.abs(pred - h_dist)))
     live_frac = float(np.mean(pred > 0))
@@ -455,7 +457,9 @@ def main():
     if args.save_ckpt:
         from flax import serialization as fser
 
-        payload = {"epoch": STEPS, "state": {"params": params}}
+        # the val gate may have swapped in params from an earlier step —
+        # record the step those weights actually come from
+        payload = {"epoch": trained_step, "state": {"params": params}}
         with open(args.save_ckpt, "wb") as f:
             f.write(fser.to_bytes(jax.device_get(payload)))
         print(f"== saved trained params to {args.save_ckpt}", flush=True)

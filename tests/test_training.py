@@ -412,3 +412,33 @@ def test_fit_retains_best_and_early_stops(dataset, tmp_path, monkeypatch, capsys
     ref = jax.tree_util.tree_leaves(best_params_snapshot["params"])[0]
     got = jax.tree_util.tree_leaves(jax.device_get(trainer.params))[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fit_rejects_nonpositive_val_every(dataset, tmp_path):
+    """--val-every 0 must fail loudly up front, not ZeroDivisionError after
+    paying for a full training epoch."""
+    labeled, amass = dataset
+    cfg = _small_cfg(tmp_path, labeled, amass)
+    batcher = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32, seed=3)
+    trainer = Trainer(cfg)
+    with pytest.raises(ValueError, match="val_every"):
+        trainer.fit(batcher, epochs=1, val_batcher=batcher, val_every=0)
+
+
+def test_best_info_invalidates_on_meta_weights_desync(tmp_path):
+    """A meta JSON whose stamp doesn't match the weights on disk (crash
+    between the two os.replace calls in save_best) reads as absent, so the
+    next save_best rewrites both instead of mis-attributing a metric."""
+    from posendf_tpu.training.checkpoints import BEST, CheckpointStore
+
+    store = CheckpointStore(str(tmp_path), backend="msgpack")
+    s = {"params": {"w": np.ones((2,), np.float32)}}
+    assert store.save_best(s, epoch=0, metric=1.0) is not None
+    assert store.best_info()["metric"] == 1.0
+    # simulate the desync: weights replaced, meta not yet
+    with open(os.path.join(str(tmp_path), BEST), "ab") as f:
+        f.write(b"x")
+    assert store.best_info() is None
+    # and a worse-than-recorded candidate now saves (meta was untrusted)
+    assert store.save_best(s, epoch=1, metric=2.0) is not None
+    assert store.best_info()["metric"] == 2.0
