@@ -158,6 +158,13 @@ def main():
                          "and report the v2v delta attributable to the "
                          "field prior")
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="master seed for EVERY randomness stream (manifold "
+                         "family, corpus, labeling noise, init, training "
+                         "batches, eval clips). 0 (default) reproduces the "
+                         "legacy fixed streams of the runs of record in "
+                         "docs/quality/; any other value derives disjoint "
+                         "streams for seed-robustness sweeps")
     ap.add_argument("--device", choices=("default", "cpu"), default="default",
                     help="'cpu' forces the CPU backend (this image's "
                          "sitecustomize pins jax_platforms before user "
@@ -198,10 +205,22 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     print(f"== devices: {jax.devices()}  corpus={N} queries={Q} "
-          f"steps={STEPS} batch={BATCH}", flush=True)
-    family = gentle_family(lo=args.freq[0], hi=args.freq[1],
-                           latents=args.latents)
-    rng = np.random.default_rng(0)
+          f"steps={STEPS} batch={BATCH} seed={args.seed}", flush=True)
+
+    # seed threading: stream i stays the bare legacy constant at seed 0
+    # (bit-reproducing the docs/quality/ runs of record); otherwise every
+    # stream is derived from (seed, i) so sweeps never share entropy
+    def _rng(i):
+        return np.random.default_rng(i if args.seed == 0 else [args.seed, i])
+
+    def _key(i):
+        k = jax.random.key(i)
+        return k if args.seed == 0 else jax.random.fold_in(k, args.seed)
+
+    family = gentle_family(
+        seed=123 if args.seed == 0 else [args.seed, 123],
+        lo=args.freq[0], hi=args.freq[1], latents=args.latents)
+    rng = _rng(0)
 
     # ---- 1. manufacture: corpus + exact-kNN-labeled noisy training set ----
     t0 = time.perf_counter()
@@ -212,15 +231,18 @@ def main():
         z = np.load(cache)
         cache_latents = int(z["latents"]) if "latents" in z else 2
         cache_freq = (list(z["freq"]) if "freq" in z else [0.15, 0.4])
+        cache_seed = int(z["seed"]) if "seed" in z else 0
         if (int(z["corpus_n"]) != N or int(z["queries_n"]) != Q
                 or bool(z["per_pose_noise"]) != args.per_pose_noise
                 or cache_latents != args.latents
-                or cache_freq != list(args.freq)):
+                or cache_freq != list(args.freq)
+                or cache_seed != args.seed):
             raise SystemExit(f"label cache {cache} was built for corpus="
                              f"{int(z['corpus_n'])} queries="
                              f"{int(z['queries_n'])} per_pose_noise="
                              f"{bool(z['per_pose_noise'])} latents="
-                             f"{cache_latents} freq={cache_freq}")
+                             f"{cache_latents} freq={cache_freq} "
+                             f"seed={cache_seed}")
         q_pose = jnp.asarray(z["q_pose"])
         q_dist = jnp.asarray(z["q_dist"])
         h_pose = jnp.asarray(z["h_pose"])
@@ -234,7 +256,7 @@ def main():
         runs = 1 if args.per_pose_noise else max(1, Q // 128)
         labeled = label_sequence(
             corpus_np, corpus, corpus_np=corpus_np, num_queries=Q, k=5,
-            rng=np.random.default_rng(1), per_pose_noise=args.per_pose_noise,
+            rng=_rng(1), per_pose_noise=args.per_pose_noise,
             runs=runs, precision="default" if on_tpu else "highest")
         q_pose = jnp.asarray(labeled["pose"])          # (Q, 21, 4)
         q_dist = jnp.asarray(labeled["dist"].mean(axis=1))  # mean-of-5 (load_data.py:53)
@@ -247,7 +269,7 @@ def main():
         held_n = min(4096, max(256, Q // 4))
         held = label_sequence(
             corpus_np, corpus, corpus_np=corpus_np, num_queries=held_n, k=5,
-            rng=np.random.default_rng(2), per_pose_noise=args.per_pose_noise,
+            rng=_rng(2), per_pose_noise=args.per_pose_noise,
             runs=1 if args.per_pose_noise else max(1, held_n // 128),
             precision="default" if on_tpu else "highest")
         h_pose = jnp.asarray(held["pose"])
@@ -256,6 +278,7 @@ def main():
             np.savez(cache, corpus_n=N, queries_n=Q,
                      per_pose_noise=args.per_pose_noise,
                      latents=args.latents, freq=np.asarray(args.freq),
+                     seed=args.seed,
                      q_pose=np.asarray(q_pose), q_dist=np.asarray(q_dist),
                      h_pose=np.asarray(h_pose), h_dist=h_dist)
             print(f"== label cache written: {cache}", flush=True)
@@ -269,7 +292,7 @@ def main():
     # softplus heads need act''-cotangent feedback); autodiff otherwise
     use_fused = on_tpu and args.act in ("lrelu", "relu")
     module = cfg.make_model()
-    params = module.init(jax.random.key(0), jnp.zeros((1, 21, 4)))["params"]
+    params = module.init(_key(0), jnp.zeros((1, 21, 4)))["params"]
     if args.load_ckpt:
         # denoise-grid-only mode: reuse a trained field (the --save-ckpt
         # payload layout) and skip init tweaks + training below via STEPS=0
@@ -392,7 +415,7 @@ def main():
     chunks = []
     n_chunks = (STEPS + CHUNK - 1) // CHUNK if STEPS else 0
     for ci, ck in enumerate(
-            jax.random.split(jax.random.key(3), n_chunks) if n_chunks
+            jax.random.split(_key(3), n_chunks) if n_chunks
             else []):
         n = min(CHUNK, STEPS - ci * CHUNK)
         progress = ci / n_chunks
@@ -492,7 +515,7 @@ def main():
         return jnp.mean(module.apply({"params": p}, quat))
 
     grid = []
-    eval_rng = np.random.default_rng(7)
+    eval_rng = _rng(7)
     for sigma in args.sigmas:
         v_in, v_out, pr_in, pr_out, v_nopr = [], [], [], [], []
         for c in range(args.clips):
@@ -538,7 +561,8 @@ def main():
               f"{row['final_pose_pr']:.5f}{abl}", flush=True)
 
     result = {
-        "preset": args.preset, "corpus": N, "queries": Q, "steps": STEPS,
+        "preset": args.preset, "seed": args.seed,
+        "corpus": N, "queries": Q, "steps": STEPS,
         "latents": args.latents, "freq": list(args.freq),
         "batch": BATCH, "lr": LR, "specs": args.specs,
         "init": "loaded" if args.load_ckpt else args.init,
