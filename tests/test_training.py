@@ -442,3 +442,28 @@ def test_best_info_invalidates_on_meta_weights_desync(tmp_path):
     # and a worse-than-recorded candidate now saves (meta was untrusted)
     assert store.save_best(s, epoch=1, metric=2.0) is not None
     assert store.best_info()["metric"] == 2.0
+
+
+def test_best_info_stamp_covers_orbax_backend(tmp_path):
+    """The desync stamp must work when 'best' is an orbax DIRECTORY, not a
+    file: a replaced weights dir (fresh mtime) invalidates the stale meta,
+    and the full save_best -> best_info -> restore_best cycle round-trips."""
+    pytest.importorskip("orbax.checkpoint")
+    from posendf_tpu.training.checkpoints import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path), backend="orbax")
+    s = {"params": {"w": np.full((3,), 2.0, np.float32)}}
+    assert store.save_best(s, epoch=5, metric=0.5) is not None
+    info = store.best_info()
+    assert info["metric"] == 0.5 and info["epoch"] == 5
+    restored, epoch = store.restore_best({"params": {"w": np.zeros((3,), np.float32)}})
+    assert epoch == 5
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.full((3,), 2.0, np.float32))
+    # crash-between-replaces simulation: the weights dir was re-created
+    # (new mtime) but the meta JSON still describes the old one
+    os.utime(os.path.join(str(tmp_path), "best"))
+    assert store.best_info() is None
+    # self-heal: an otherwise-worse candidate saves because meta is untrusted
+    assert store.save_best(s, epoch=6, metric=0.9) is not None
+    assert store.best_info()["metric"] == 0.9
