@@ -40,6 +40,10 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#if defined(__SSE2__)
+#include <emmintrin.h>  // global scope: SSE headers may declare globals
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -203,7 +207,6 @@ inline int64_t draw_below(uint64_t seed, int64_t i, int64_t n) {
 constexpr int64_t kPrefetchAhead = POSENDF_PF;
 
 #if defined(__SSE2__)
-#include <emmintrin.h>
 // Copy one row with unaligned loads + non-temporal stores. The destination
 // batch buffer is written exactly once and read next by the DMA engine /
 // device transfer, so letting it allocate cache lines (regular stores RFO
@@ -224,10 +227,16 @@ inline void copy_row_stream(float* dst, const char* src, int64_t bytes) {
     std::memcpy(dst, src, bytes);
   }
 }
+// Non-temporal stores are weakly ordered: they sit in WC buffers that are
+// only architecturally flushed by a store fence. Each thread that streamed
+// rows must fence before its results become visible to the joining thread
+// (and before a single-threaded caller returns the buffer to Python).
+inline void stream_fence() { _mm_sfence(); }
 #else
 inline void copy_row_stream(float* dst, const char* src, int64_t bytes) {
   std::memcpy(dst, src, bytes);
 }
+inline void stream_fence() {}
 #endif
 
 void parallel_for(int64_t n, int threads, const std::function<void(int64_t, int64_t)>& fn) {
@@ -238,13 +247,20 @@ void parallel_for(int64_t n, int threads, const std::function<void(int64_t, int6
   const unsigned hw = std::thread::hardware_concurrency();
   if (hw > 0) threads = std::min<int>(threads, static_cast<int>(hw));
   // below ~4k items thread spawn overhead rivals the gather itself
-  if (threads == 1 || n < 4096) { fn(0, n); return; }
+  if (threads == 1 || n < 4096) {
+    fn(0, n);
+    stream_fence();  // flush this thread's NT stores before returning
+    return;
+  }
   std::vector<std::thread> pool;
   int64_t chunk = (n + threads - 1) / threads;
   for (int t = 0; t < threads; ++t) {
     int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
     if (lo >= hi) break;
-    pool.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+    // per-thread sfence: NT stores drain from WC buffers only at a fence;
+    // relying on the join path's locked instructions to flush them is
+    // unspecified, and a torn row would reach training data silently
+    pool.emplace_back([&fn, lo, hi] { fn(lo, hi); stream_fence(); });
   }
   for (auto& th : pool) th.join();
 }

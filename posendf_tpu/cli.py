@@ -79,7 +79,9 @@ def cmd_train(args):
         cfg.train.fused_grads = True
     if args.early_stop_patience is not None:
         cfg.train.early_stop_patience = args.early_stop_patience
+    if cfg.train.early_stop_patience:
         cfg.experiment.val = True  # patience is meaningless without val
+        # (applies to the YAML key too, not just the CLI flag)
     if args.val_every is not None:
         cfg.experiment.val_every = args.val_every
     mesh = make_mesh(("data",))
@@ -97,13 +99,15 @@ def cmd_train(args):
                 flip=cfg.train.flip,
             )
         except FileNotFoundError as e:
-            if args.early_stop_patience is not None:
-                # the flag's whole point is the erosion guardrail; degrading
-                # it to an unvalidated full-length run would be a silent no-op
+            # the effective config, not just the CLI flag: patience set via
+            # the YAML (train.early_stop_patience) must fail just as loud —
+            # its whole point is the erosion guardrail, and degrading it to
+            # an unvalidated full-length run would be a silent no-op
+            if cfg.train.early_stop_patience:
                 raise SystemExit(
-                    "--early-stop-patience requires validation data, but no "
+                    "early-stop patience requires validation data, but no "
                     f"vald-split files were found ({e}); provide a vald split "
-                    "under data.data_dir or drop the flag") from e
+                    "under data.data_dir or drop the flag/config key") from e
             print("experiment.val=True but no vald-split data found; skipping validation")
     trainer = Trainer(cfg, mesh=mesh, config_path=args.config)
     if args.matched_head_init:
@@ -296,9 +300,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="single-kernel projection step (TPU fast path: "
                         "1.07-3.5x the XLA scan, growing with batch)")
     p.add_argument("--out", default=None, help="output .npz path")
-    p.add_argument("--save-mesh", action="store_true")
-    p.add_argument("--render", action="store_true")
-    p.add_argument("--mesh-dir", default=None)
+    _add_mesh_out(p, "./generated")
     p.add_argument("--bm-path", default=None, help="SMPL model file")
     p.set_defaults(fn=cmd_generate)
 

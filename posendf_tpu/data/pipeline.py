@@ -171,7 +171,10 @@ class TrainingBatcher:
             self.backend = "numpy"
         self.buffer_pool = int(buffer_pool)
         self._buf_sets: Dict[tuple, list] = {}
-        self._buf_idx = 0
+        # rotation index PER (B, P) pool: a shared counter desyncs under
+        # interleaved batch shapes and can hand back the buffer returned one
+        # call earlier, violating the documented overwrite contract
+        self._buf_idx: Dict[tuple, int] = {}
 
     def _native_open(self, path: str):
         # lock for dict consistency under concurrent sample_batch; evicted
@@ -337,15 +340,17 @@ class TrainingBatcher:
             return (np.empty((B * P, 21, 4), np.float32),
                     np.empty((B * P,), np.float32),
                     np.empty((B * P, 21, 4), np.float32))
-        pool = self._buf_sets.setdefault((B, P), [])
+        key = (B, P)
+        pool = self._buf_sets.setdefault(key, [])
+        idx = self._buf_idx.get(key, 0)
         if len(pool) < self.buffer_pool:
             pool.append((np.empty((B * P, 21, 4), np.float32),
                          np.empty((B * P,), np.float32),
                          np.empty((B * P, 21, 4), np.float32)))
             bufs = pool[-1]
         else:
-            bufs = pool[self._buf_idx % len(pool)]
-        self._buf_idx += 1
+            bufs = pool[idx % len(pool)]
+        self._buf_idx[key] = idx + 1
         return bufs
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:

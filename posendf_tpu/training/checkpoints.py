@@ -17,6 +17,7 @@ ingested via ``training.torch_import``.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import warnings
@@ -169,11 +170,20 @@ class CheckpointStore:
         Returns the path if saved, None if the stored best is still better."""
         if mode not in ("min", "max"):
             raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
+        # NaN guards: a NaN metric is never "best" (a transiently diverged
+        # validation must not poison the retained checkpoint — every later
+        # finite metric would compare False against it and never be saved),
+        # and a NaN already on disk is treated as absent so the first finite
+        # validation replaces it.
+        metric = float(metric)
+        if math.isnan(metric):
+            return None
         info = self.best_info()
         if info is not None:
             prev = float(info["metric"])
-            if (metric >= prev) if mode == "min" else (metric <= prev):
-                return None
+            if not math.isnan(prev):
+                if (metric >= prev) if mode == "min" else (metric <= prev):
+                    return None
         import json
 
         if self.backend == "orbax":

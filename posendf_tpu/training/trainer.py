@@ -401,9 +401,16 @@ class Trainer:
                 # CLAUDE.md) a non-improving validation must not pay for a
                 # download that save_best would immediately discard
                 info = self.store.best_info()
-                improved = info is None or (
-                    metric < float(info["metric"]) if val_mode == "min"
-                    else metric > float(info["metric"]))
+                prev = None if info is None else float(info["metric"])
+                if np.isnan(metric):
+                    # a NaN validation (transient divergence) is never the
+                    # best; counting it stale keeps early-stop meaningful
+                    improved = False
+                elif prev is None or np.isnan(prev):
+                    improved = True
+                else:
+                    improved = (metric < prev if val_mode == "min"
+                                else metric > prev)
                 saved = None
                 if improved:
                     state = {"params": jax.device_get(self.params),

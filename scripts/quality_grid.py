@@ -40,6 +40,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def gate_should_swap(best_corr: float, final_corr: float) -> bool:
+    """True when the retained-best params should replace the final ones.
+
+    A non-finite final corr (collapsed field: pred.std()==0 -> NaN) must
+    trigger the swap, not bypass it — a bare ``best > nan`` comparison is
+    False, which would keep the dead final params in exactly the run the
+    validation gate exists to save."""
+    return (not np.isfinite(final_corr)) or best_corr > final_corr
+
+
 def gentle_family(seed=123, lo=0.15, hi=0.4, latents=2):
     """Low-frequency pose family: the manifold is a gentle sheet in pose
     space, so the nearest manifold point to (gt + noise) is near gt.
@@ -457,7 +467,8 @@ def main():
     # ---- 3. field quality on held-out noisy poses ------------------------
     final_corr = held_corr(params)
     trained_step = STEPS  # which step the params-of-record come from
-    if val_gate and best["params"] is not None and best["corr"] > final_corr:
+    if val_gate and best["params"] is not None and gate_should_swap(
+            best["corr"], final_corr):
         print(f"== val gate: final corr {final_corr:.3f} < best "
               f"{best['corr']:.3f} @ step {best['step']} — using the "
               "retained best params (training-length erosion survived)",

@@ -172,3 +172,24 @@ def test_fit_image_with_mesh_and_overlay(tmp_path):
     objs = os.listdir(os.path.join(mesh_dir, "meshes"))
     assert objs == ["fit_0000.obj"]
     assert os.path.exists(os.path.join(mesh_dir, "overlay.png"))
+
+
+def test_train_yaml_patience_fails_loud_without_vald(tmp_path):
+    """Early-stop patience set in the CONFIG FILE (not the CLI flag) must
+    fail just as loud when the vald split is missing — degrading the erosion
+    guardrail to an unvalidated full-length run would be a silent no-op."""
+    from posendf_tpu.config import PoseNDFConfig, save_config
+
+    labeled, amass = write_synthetic_dataset(str(tmp_path))
+    cfg = PoseNDFConfig()
+    cfg.data.data_dir = labeled
+    cfg.data.amass_dir = amass
+    cfg.experiment.root_dir = str(tmp_path / "exp")
+    cfg.train.batch_size = 2
+    cfg.train.num_pts = 16
+    cfg.train.max_epoch = 1
+    cfg.train.early_stop_patience = 3  # via YAML, no CLI flag
+    path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, path)
+    with pytest.raises(SystemExit, match="vald"):
+        main(["train", "-c", path])

@@ -93,3 +93,18 @@ def test_quality_grid_micro(tmp_path):
     assert loaded["field_mae"] == result["field_mae"]
     (lrow,) = loaded["grid"]
     assert np.isfinite(lrow["v2v_out_cm"]) and lrow["v2v_out_cm"] > 0
+
+
+def test_val_gate_triggers_on_nan_final_corr():
+    """The gate must swap in the retained best when the final field
+    COLLAPSED (pred.std()==0 -> corr NaN): a bare `best > nan` comparison is
+    False, which would bypass the gate in exactly the run it exists to save."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("quality_grid", SCRIPT)
+    qg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qg)
+
+    assert qg.gate_should_swap(0.95, float("nan"))      # collapsed final
+    assert qg.gate_should_swap(0.95, 0.30)              # ordinary erosion
+    assert not qg.gate_should_swap(0.95, 0.96)          # final still best

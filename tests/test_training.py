@@ -467,3 +467,59 @@ def test_best_info_stamp_covers_orbax_backend(tmp_path):
     # self-heal: an otherwise-worse candidate saves because meta is untrusted
     assert store.save_best(s, epoch=6, metric=0.9) is not None
     assert store.best_info()["metric"] == 0.9
+
+
+def test_save_best_nan_metric_never_retained(tmp_path):
+    """A NaN metric must never become the stored best: every later finite
+    metric would compare False against NaN and never be saved, permanently
+    freezing a diverged checkpoint as 'best'. And a NaN already on disk
+    (e.g. written by an older build) reads as absent so the first finite
+    validation replaces it."""
+    import json
+
+    from posendf_tpu.training.checkpoints import BEST_META, CheckpointStore
+
+    store = CheckpointStore(str(tmp_path), backend="msgpack")
+    s = {"params": {"w": np.ones((2,), np.float32)}}
+
+    # NaN candidate: refused, best_info stays empty
+    assert store.save_best(s, epoch=0, metric=float("nan")) is None
+    assert store.best_info() is None
+
+    # finite then NaN: NaN still refused, finite best survives
+    assert store.save_best(s, epoch=1, metric=1.0) is not None
+    assert store.save_best(s, epoch=2, metric=float("nan")) is None
+    assert store.best_info()["metric"] == 1.0
+
+    # NaN on disk (legacy artifact): treated as absent, finite overwrites
+    meta_path = os.path.join(str(tmp_path), BEST_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["metric"] = float("nan")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    assert store.save_best(s, epoch=3, metric=5.0) is not None
+    assert store.best_info()["metric"] == 5.0
+
+
+def test_fit_nan_validation_counts_stale_not_best(dataset, tmp_path, monkeypatch):
+    """A transiently-NaN validation mid-run must not be retained as best nor
+    reset the early-stop counter; the later finite improvement is retained."""
+    labeled, amass = dataset
+    cfg = _small_cfg(tmp_path, labeled, amass)
+    batcher = TrainingBatcher(labeled, amass, batch_size=2, num_pts=32, seed=3)
+    trainer = Trainer(cfg)
+
+    script = iter([float("nan"), 0.8, 0.4])
+
+    def fake_validate(batches):
+        list(batches)
+        m = next(script)
+        return {"total": m, "dist": m, "man_loss": m, "eikonal": m}
+
+    monkeypatch.setattr(trainer, "validate", fake_validate)
+    trainer.fit(batcher, epochs=3, val_batcher=batcher, val_every=1,
+                val_batches=1, early_stop_patience=5)
+    info = trainer.store.best_info()
+    assert info is not None
+    assert info["metric"] == 0.4 and info["epoch"] == 2
