@@ -158,6 +158,58 @@ def main():
         _section_failed('whole_model_kernel')
         evals_wm = None
 
+    # int8-MXU serving path (ops/fused_int8.py): the DFNet's wide layers on
+    # the int8 MXU (394 TOPS peak = 2x bf16), per-input-channel static
+    # quantization folded into the weights. Throughput on fresh-init
+    # weights; quality delta measured separately on the trained L=8
+    # checkpoint (realistic weight/activation distributions).
+    evals_int8 = None
+    int8_mae_over_std = None
+    try:
+        from posendf_tpu.field import Field
+        from posendf_tpu.ops.fused_int8 import fused_posendf_forward_int8
+
+        calib = rng.random((4096, 21, 4)).astype(np.float32)
+        calib /= np.linalg.norm(calib, axis=-1, keepdims=True)
+        qparams = Field(module, params).quantize_int8(
+            jnp.asarray(calib)).qparams
+
+        @partial(jax.jit, static_argnames=("iters",))
+        def i8_loop(pose, iters):
+            def body(i, acc):
+                d = fused_posendf_forward_int8(
+                    pose + acc * 0, qparams, parents=module.parents,
+                    activation=module.activation, beta=module.beta,
+                    tile_b=4096)
+                return acc + jnp.sum(d)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(i8_loop(pose, lo))
+        float(i8_loop(pose, hi))
+        t_lo_8 = timed(lambda: i8_loop(pose, lo))
+        t_hi_8 = timed(lambda: i8_loop(pose, hi))
+        evals_int8 = B / ((t_hi_8 - t_lo_8) / (hi - lo))
+
+        l8 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "docs", "quality", "ckpt_l8_best.msgpack")
+        if os.path.exists(l8):
+            import posendf_tpu as _pndf
+
+            tf = _pndf.load_field(l8)
+            qrng = np.random.default_rng(11)
+            tcal = qrng.normal(size=(1024, 21, 4)).astype(np.float32)
+            tcal /= np.linalg.norm(tcal, axis=-1, keepdims=True)
+            tq = tf.quantize_int8(jnp.asarray(tcal))
+            tprob = qrng.normal(size=(2048, 21, 4)).astype(np.float32)
+            tprob /= np.linalg.norm(tprob, axis=-1, keepdims=True)
+            d32 = np.asarray(tf.distance(jnp.asarray(tprob))).ravel()
+            d8 = np.asarray(tq.distance_xla(jnp.asarray(tprob))).ravel()
+            int8_mae_over_std = float(
+                np.mean(np.abs(d8 - d32)) / max(np.std(d32), 1e-9))
+    except Exception:
+        _section_failed('int8_serving')
+
     evals_per_sec = max(evals_enc, evals_wm or 0.0)
     per_iter = B / evals_per_sec
 
@@ -651,6 +703,11 @@ def main():
             "train_step_65k_fused_ms":
                 round(train_fused_65k_ms, 3) if train_fused_65k_ms else None,
             "bf16_evals_per_sec": round(bf16_evals, 1) if bf16_evals else None,
+            "int8_evals_per_sec":
+                round(evals_int8, 1) if evals_int8 else None,
+            "int8_mae_over_std":
+                round(int8_mae_over_std, 4)
+                if int8_mae_over_std is not None else None,
             "fused_value_and_grad_per_sec":
                 round(vag_fused, 1) if vag_fused else None,
             "projection_50step_131k_fused_s":

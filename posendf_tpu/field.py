@@ -16,7 +16,7 @@ from typing import Any, Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_field", "Field"]
+__all__ = ["make_field", "Field", "QuantizedField"]
 
 
 class Field:
@@ -47,6 +47,25 @@ class Field:
             parents=m.parents, activation=m.activation, beta=m.beta,
             compute_dtype=m.compute_dtype)
 
+    def quantize_int8(self, calib_poses: jax.Array) -> "QuantizedField":
+        """Post-training int8 quantization of the DFNet stack for the
+        serving fast path (``ops/fused_int8.py``): the wide layers run on
+        the MXU at 2x the bf16 rate. ``calib_poses`` (N, 21, 4) sets the
+        static activation scales; a few thousand representative poses
+        suffice. Value-only — gradient consumers stay on the f32 paths."""
+        from posendf_tpu.ops.fused_int8 import quantize_posendf
+
+        m = self.module
+        if not m.use_encoder or m.ff_enc:
+            raise ValueError(
+                "quantize_int8 supports the standard encoder+DFNet "
+                "architecture (use_encoder=True, ff_enc=False)")
+        qparams = quantize_posendf(
+            self.params["enc"], self.params["dfnet"],
+            calib_poses.reshape(-1, m.num_joints, 4),
+            parents=m.parents, activation=m.activation, beta=m.beta)
+        return QuantizedField(m, qparams)
+
     def distance_and_grad(self, pose: jax.Array) -> Tuple[jax.Array, jax.Array]:
         return distance_and_grad(self.module, self.params, pose)
 
@@ -71,6 +90,38 @@ class Field:
         # same contract as distance_and_grad: the gradient comes back in the
         # CALLER's pose shape (e.g. (B, 84) for flat input)
         return d, g.reshape(orig_shape)
+
+
+class QuantizedField:
+    """Int8 serving view of a :class:`Field` (see ``ops/fused_int8.py``).
+
+    ``distance`` runs the int8-MXU Pallas kernel (TPU); ``distance_xla``
+    runs the arithmetic-identical pure-XLA emulation (any backend). The
+    calibration report (per-layer activation scales) is at
+    ``qparams['report']``.
+    """
+
+    def __init__(self, module, qparams):
+        self.module = module
+        self.qparams = qparams
+
+    def distance(self, pose: jax.Array) -> jax.Array:
+        from posendf_tpu.ops.fused_int8 import fused_posendf_forward_int8
+
+        m = self.module
+        pose = pose.reshape(-1, m.num_joints, 4)
+        return fused_posendf_forward_int8(
+            pose, self.qparams, parents=m.parents,
+            activation=m.activation, beta=m.beta)
+
+    def distance_xla(self, pose: jax.Array) -> jax.Array:
+        from posendf_tpu.ops.fused_int8 import reference_int8_forward
+
+        m = self.module
+        pose = pose.reshape(-1, m.num_joints, 4)
+        return reference_int8_forward(
+            pose, self.qparams, parents=m.parents,
+            activation=m.activation, beta=m.beta)
 
 
 def distance_fn(module, params) -> Callable[[jax.Array], jax.Array]:
