@@ -408,12 +408,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--space", choices=["quat", "joints"], default="quat",
                    help="candidate-search embedding: raw quats or SMPL FK joints")
     p.add_argument("--bm-path", default=None, help="SMPL model for --space joints")
-    p.add_argument("--knn-precision", choices=["highest", "high", "default"],
+    p.add_argument("--knn-precision",
+                   choices=["highest", "high", "default", "fast"],
                    default="highest",
                    help="matmul precision of the distance searches: 'highest' "
                         "(default) is exact like faiss fp32; 'default' is "
                         "single-pass bf16, ~2x faster with ~1e-3 distance "
-                        "noise that can swap near-tie neighbors")
+                        "noise that can swap near-tie neighbors; 'fast' is "
+                        "the single-MXU-pass upper-bound prescreen + exact "
+                        "fp32 rerank (fused path only) — exact labels for "
+                        "near-neighbor queries, see data/prepare.py")
     p.add_argument("--fused-knn", choices=["auto", "on", "off"],
                    default="auto",
                    help="single-kernel Pallas kNN search (auto: on-TPU exact "

@@ -252,16 +252,23 @@ def _sharded_fused_search(mesh, k: int, weighted: bool,
     import jax
     from jax.sharding import PartitionSpec as P
 
-    from posendf_tpu.ops.fused_knn import fused_geodesic_topk
+    from posendf_tpu.ops.fused_knn import (fused_geodesic_topk,
+                                           fused_geodesic_topk_fast)
     from posendf_tpu.quat import SMPL_JOINT_RANK
 
     w_np = None
     if weighted:
         w_np = (np.asarray(SMPL_JOINT_RANK, np.float32)
                 / np.linalg.norm(SMPL_JOINT_RANK))
+    if dot_impl == "fast":
+        # one-MXU-pass upper-bound prescreen + exact rerank (all XLA-safe
+        # ops, so it shard_maps like the plain kernel)
+        fn = functools.partial(fused_geodesic_topk_fast, k=k, weights=w_np)
+    else:
+        fn = functools.partial(fused_geodesic_topk, k=k, weights=w_np,
+                               dot_impl=dot_impl)
     return jax.jit(jax.shard_map(
-        functools.partial(fused_geodesic_topk, k=k, weights=w_np,
-                          dot_impl=dot_impl),
+        fn,
         mesh=mesh, in_specs=(P("data"), P()),
         out_specs=(P("data"), P("data")), check_vma=False,
     ))
@@ -330,7 +337,15 @@ def label_sequence(
     ``precision``: matmul precision of the distance searches. 'highest'
     (default) is exact — matches faiss fp32 neighbor-for-neighbor on TPU;
     'default' uses single-pass bf16 MXU (~2x faster) with ~1e-3 distance
-    noise that can swap near-tie neighbors.
+    noise that can swap near-tie neighbors; 'fast' (fused path only) runs
+    the single-MXU-pass upper-bound prescreen + exact fp32 rerank
+    (``ops/fused_knn.py::fused_geodesic_topk_fast``) — EXACT results for
+    queries with near neighbors (measured on pose-like manifold corpora,
+    4k rows / 100 queries / k=5: top-5 identity 100% at noise sigma
+    <= 0.1, 99.4% at 0.25, ~0.75 recall with ~7e-3 label MAE = ~2.5% of
+    the 0.27 label scale at sigma 0.5 — the far-query regime where label
+    precision matters least), falling back to 'default'-precision XLA
+    where the fused path doesn't apply.
 
     ``fused``: None (auto) takes the single-kernel Pallas search
     (``ops/fused_knn.py``, ~1.7x the XLA scan) whenever it applies —
@@ -386,10 +401,13 @@ def label_sequence(
     # (61.0k vs 38.7k qps at 262k corpus, 21.2k vs 11.9k at 1M) with the
     # same ~1e-3 approximation class as the default-precision XLA einsum
     # (95% of top-5 sets identical on random corpora)
-    fused_dot = "vpu" if precision == "highest" else "mxu_bf16"
+    fused_dot = {"highest": "vpu", "fast": "fast"}.get(precision, "mxu_bf16")
+    # XLA calls (scan fallback, two-stage, euclidean) have no 'fast' engine;
+    # they take the nearest jax precision
+    xla_precision = "default" if precision == "fast" else precision
     fused_eligible = (metric == "geo" and corpus_emb is None
                       and not k_candidates and k <= 8
-                      and precision in ("highest", "default"))
+                      and precision in ("highest", "default", "fast"))
     if fused is None:
         import jax
 
@@ -403,7 +421,7 @@ def label_sequence(
         raise ValueError(
             "fused=True requires the single-stage geodesic search "
             "(metric='geo', no candidates/embedding, k<=8, "
-            "precision='highest' or 'default')")
+            "precision='highest', 'default' or 'fast')")
     else:
         use_fused = fused
 
@@ -421,16 +439,17 @@ def label_sequence(
             kc = min(k_candidates if k_candidates else 500, N)
             if corpus_emb is not None:
                 q_emb = jnp.asarray(_fk_joint_embedding(np.asarray(q), body_model))
-                _, cand = l2_topk(q_emb, corpus_emb, k=kc, precision=precision)
+                _, cand = l2_topk(q_emb, corpus_emb, k=kc,
+                                  precision=xla_precision)
             else:
                 _, cand = l2_topk(q.reshape(len(q), -1), corpus.reshape(N, -1),
-                                  k=kc, precision=precision)
+                                  k=kc, precision=xla_precision)
             rerank = euclidean_rerank if metric == "euc" else geodesic_rerank
             d, i = rerank(q, corpus, cand, k=k, weights=w)
         elif metric == "euc":
             # exact single-stage per-joint-L2 top-k (streamed, no candidates)
             d, i = euclidean_topk(q, corpus, k=k, weights=w,
-                                  precision=precision)
+                                  precision=xla_precision)
         elif use_fused:
             # geodesic search with the top-k merge fused into the distance
             # kernel (ops/fused_knn.py) — ~1.7x the XLA scan on v5e; under
@@ -449,14 +468,18 @@ def label_sequence(
             elif mesh is not None:
                 # indivisible tail batch: XLA scan (same exact math)
                 d, i = geodesic_topk(q, corpus, k=k, weights=w,
-                                     precision=precision)
+                                     precision=xla_precision)
+            elif fused_dot == "fast":
+                from posendf_tpu.ops.fused_knn import fused_geodesic_topk_fast
+
+                d, i = fused_geodesic_topk_fast(q, corpus, k, weights=w_np)
             else:
                 d, i = fused_geodesic_topk(q, corpus, k, weights=w_np,
                                            dot_impl=fused_dot)
         else:
             # exact single-stage geodesic top-k (weighted or not)
             d, i = geodesic_topk(q, corpus, k=k, weights=w,
-                                 precision=precision)
+                                 precision=xla_precision)
         # keep results ON DEVICE until every batch is dispatched: a
         # per-batch np.asarray blocks on the relay round-trip and
         # serializes dispatch against compute (results are (Q, k) — tiny)

@@ -29,7 +29,11 @@ swaps near-tie neighbors (~95% of top-5 sets identical on random corpora)
 ``label_sequence(precision='default')`` uses;
 'mxu' — HIGHEST-precision stacked-bf16 dots: ~1e-7 of fp32 but SLOWER
 than the VPU path (17.4k / 4.8k qps — the pass stacking wastes the K=4
-contraction), kept for the record.
+contraction), kept for the record;
+'mxu_fast' — ONE K=84 systolic pass per distance tile computing the
+hemisphere-canonicalized upper bound sum_j w_j (1 - dot_j) (tight for
+near neighbors); prescreen engine for ``fused_geodesic_topk_fast``,
+which reranks the candidates with the exact metric.
 
 Layout notes (Mosaic): queries ride the SUBLANES of the (TILE_Q, TILE_T)
 distance tile and the corpus tile rides the LANES, so the corpus operand is
@@ -50,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_geodesic_topk"]
+__all__ = ["fused_geodesic_topk", "fused_geodesic_topk_fast"]
 
 _KPAD = 8          # running-best width (lanes); k <= _KPAD
 _BIG = 3.0e38
@@ -58,11 +62,11 @@ _IBIG = 2**31 - 1
 
 
 def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
-                num_joints, k, tile_t, n_corpus, weights, dot_impl):
+                num_joints, k, tile_t, n_corpus, weights, dot_impl, kpad):
     """One (query-tile, corpus-tile) grid step.
 
     q_ref: (TILE_Q, 4J) queries; c_ref: (4J, TILE_T) corpus slab;
-    bestd/besti: (TILE_Q, _KPAD) running top-k scratch, persistent across
+    bestd/besti: (TILE_Q, kpad) running top-k scratch, persistent across
     the corpus (minor) grid axis.
     """
     j = pl.program_id(1)
@@ -71,8 +75,8 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
 
     @pl.when(j == 0)
     def _():
-        bestd[:] = jnp.full((tq, _KPAD), _BIG, jnp.float32)
-        besti[:] = jnp.full((tq, _KPAD), -1, jnp.int32)
+        bestd[:] = jnp.full((tq, kpad), _BIG, jnp.float32)
+        besti[:] = jnp.full((tq, kpad), -1, jnp.int32)
 
     # ---- distance tile: mean_j (1 - |sum_d q_jd * c_jd|), all in VMEM
     geo = None
@@ -88,6 +92,23 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
             pj = 1.0 - jnp.abs(acc)
             w = 1.0 / num_joints if weights is None else float(weights[joint])
             geo = w * pj if geo is None else geo + w * pj     # (TQ, TT)
+    elif dot_impl == "mxu_fast":
+        # ONE (TQ, 4J)@(4J, TT) systolic pass for the WHOLE distance tile.
+        # The per-joint |dot| forces 21 under-filled K=4 MXU passes above;
+        # but the geodesic metric is invariant to independent per-joint
+        # sign flips (|<±q, ±c>| == |<q, c>|), so after canonicalizing
+        # both sides to the w >= 0 hemisphere (done by the wrapper),
+        # sum_j w_j (1 - dot_j) = W - q @ (w-scaled c) is computable in a
+        # single K=84 contraction and is a tight UPPER bound on the true
+        # distance (equality whenever every per-joint dot >= 0, which
+        # holds for near neighbors). The wrapper folds w into the corpus
+        # and reranks candidates with the exact metric.
+        d = jax.lax.dot_general(
+            q_ref[...], c_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        w_total = 1.0 if weights is None else float(sum(weights))
+        geo = w_total - d
     else:
         # per-joint (TQ,4)@(4,TT) dots on the MXU: replaces the 84 VPU
         # passes above with 21 systolic passes + 42 elementwise ones.
@@ -112,7 +133,7 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
     geo = jnp.where(col < n_corpus, geo, _BIG)
 
     # ---- extract this tile's k smallest and fold into the running best
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (tq, _KPAD), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (tq, kpad), 1)
     for _ in range(k):
         m = jnp.min(geo, axis=1, keepdims=True)                       # (TQ,1)
         idx = jnp.min(jnp.where(geo == m, col, _IBIG), axis=1,
@@ -120,7 +141,7 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
         geo = jnp.where(col == idx, _BIG, geo)
         bd = bestd[:]
         bmax = jnp.max(bd, axis=1, keepdims=True)
-        bpos = jnp.min(jnp.where(bd == bmax, lane8, _KPAD), axis=1,
+        bpos = jnp.min(jnp.where(bd == bmax, lane8, kpad), axis=1,
                        keepdims=True)
         sel = (lane8 == bpos) & (m < bmax)
         bestd[:] = jnp.where(sel, m, bd)
@@ -133,7 +154,7 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
         bi = besti[:]
         for i in range(k):
             m = jnp.min(bd, axis=1, keepdims=True)
-            pos = jnp.min(jnp.where(bd == m, lane8, _KPAD), axis=1,
+            pos = jnp.min(jnp.where(bd == m, lane8, kpad), axis=1,
                           keepdims=True)
             dout_ref[:, i:i + 1] = m
             iout_ref[:, i:i + 1] = jnp.min(
@@ -143,16 +164,17 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_t",
                                              "weights", "interpret",
-                                             "n_corpus", "dot_impl"))
+                                             "n_corpus", "dot_impl",
+                                             "kpad"))
 def _fused_topk(queries_flat, corpus_t, k, tile_q, tile_t, weights,
-                interpret, n_corpus, dot_impl):
+                interpret, n_corpus, dot_impl, kpad=_KPAD):
     Qp = queries_flat.shape[0]
     JD = queries_flat.shape[1]
     Np = corpus_t.shape[1]
     grid = (Qp // tile_q, Np // tile_t)
     kernel = functools.partial(
         _knn_kernel, num_joints=JD // 4, k=k, tile_t=tile_t,
-        n_corpus=n_corpus, weights=weights, dot_impl=dot_impl)
+        n_corpus=n_corpus, weights=weights, dot_impl=dot_impl, kpad=kpad)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -173,8 +195,8 @@ def _fused_topk(queries_flat, corpus_t, k, tile_q, tile_t, weights,
             jax.ShapeDtypeStruct((Qp, k), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_q, _KPAD), jnp.float32),
-            pltpu.VMEM((tile_q, _KPAD), jnp.int32),
+            pltpu.VMEM((tile_q, kpad), jnp.float32),
+            pltpu.VMEM((tile_q, kpad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -199,8 +221,9 @@ def fused_geodesic_topk(
     ``weights`` must be a CONCRETE (host) array for the fused path — it is
     baked into the kernel as constants (21 floats). k <= 8.
     """
-    if k > _KPAD:
-        raise ValueError(f"fused path supports k <= {_KPAD}, got {k}")
+    kpad = max(_KPAD, -(-k // 8) * 8)   # running-best width, 8-lane steps
+    if k > 32:
+        raise ValueError(f"fused path supports k <= 32, got {k}")
     Q, J, four = query_quats.shape
     N = corpus_quats.shape[0]
     if N < k:
@@ -225,8 +248,76 @@ def fused_geodesic_topk(
         ct = jnp.concatenate(
             [ct, jnp.zeros((J * four, pad_n), jnp.float32)], axis=1)
 
-    if dot_impl not in ("vpu", "mxu", "mxu_bf16"):
-        raise ValueError(f"dot_impl must be vpu|mxu|mxu_bf16, got {dot_impl!r}")
+    if dot_impl not in ("vpu", "mxu", "mxu_bf16", "mxu_fast"):
+        raise ValueError(
+            f"dot_impl must be vpu|mxu|mxu_bf16|mxu_fast, got {dot_impl!r}")
+    if dot_impl == "mxu_fast":
+        # hemisphere canonicalization (geodesic-invariant: |<±q, ±c>| is
+        # unchanged) makes per-joint dots of near neighbors positive, so
+        # the kernel's single-pass upper bound is tight where it matters
+        qf = _canonicalize_flat(qf, J)
+        ct = _canonicalize_flat(ct.T, J).T
+        if weights is not None:
+            # fold the joint weights into the corpus rows: the kernel's
+            # one dot then yields sum_j w_j dot_j directly
+            s = jnp.asarray(np.repeat(np.asarray(weights, np.float32), 4))
+            ct = ct * s[:, None]
+        else:
+            ct = ct * jnp.float32(1.0 / J)
     dists, idx = _fused_topk(qf, ct, k, tile_q, tile_t, weights,
-                             interpret, N, dot_impl)
+                             interpret, N, dot_impl, kpad=kpad)
     return dists[:Q], idx[:Q]
+
+
+def _canonicalize_flat(qf: jax.Array, J: int) -> jax.Array:
+    """Flip each joint quaternion of (B, 4J) rows into the w >= 0
+    hemisphere (sign(0) treated as +). Geodesic distances are unchanged."""
+    B = qf.shape[0]
+    q = qf.reshape(B, J, 4)
+    flip = jnp.where(q[..., :1] < 0.0, -1.0, 1.0)
+    return (q * flip).reshape(B, J * 4)
+
+
+def fused_geodesic_topk_fast(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    k: int,
+    *,
+    prescreen_k: int = _KPAD,
+    weights: Optional[np.ndarray] = None,
+    tile_q: int = 256,
+    tile_t: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage exact-metric top-k: single-MXU-pass upper-bound prescreen
+    (``dot_impl='mxu_fast'``) to ``prescreen_k`` candidates, then exact
+    fp32 geodesic rerank of those candidates (``ops/knn.py::
+    geodesic_rerank``). The TPU-shaped analog of the reference's
+    faiss-euclidean-then-geodesic pipeline (``data/prepare_traindata.py:
+    45,192-199``) — except the prescreen bound is geodesic-aware (tight
+    for near neighbors), so a candidate depth of 8 replaces faiss' 500.
+
+    Exactness contract: the prescreen orders by an upper bound that equals
+    the true distance when every per-joint dot of the (canonicalized)
+    pair is >= 0. On POSE corpora that holds for near neighbors: SMPL
+    joint rotations have theta < pi so w = cos(theta/2) is bounded away
+    from the w=0 canonicalization boundary, sign flips are consistent
+    within a neighborhood, and dots of near pairs are ~1 > 0 — so the
+    true top-k survives the prescreen and the rerank returns the exact
+    answer (tests/test_fused_knn.py pins this bit-for-bit on pose-like
+    clusters). On uniform-random S^3 corpora (~15% of joints within
+    sign-flip range of w=0) recall degrades gracefully instead — the
+    adversarial test bounds it — and the returned distances are always
+    the exact metric of whatever candidates survive.
+    """
+    if k > prescreen_k:
+        raise ValueError(f"k={k} > prescreen_k={prescreen_k}")
+    prescreen_k = max(k, min(prescreen_k, corpus_quats.shape[0]))
+    w = None if weights is None else jnp.asarray(weights, jnp.float32)
+    _, cand = fused_geodesic_topk(
+        query_quats, corpus_quats, prescreen_k, weights=weights,
+        tile_q=tile_q, tile_t=tile_t, dot_impl="mxu_fast",
+        interpret=interpret)
+    from posendf_tpu.ops.knn import geodesic_rerank
+
+    return geodesic_rerank(query_quats, corpus_quats, cand, k, w)

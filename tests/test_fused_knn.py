@@ -10,13 +10,40 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from posendf_tpu.ops.fused_knn import fused_geodesic_topk
+from posendf_tpu.ops.fused_knn import (fused_geodesic_topk,
+                                       fused_geodesic_topk_fast)
 from posendf_tpu.ops.knn import geodesic_topk
 from posendf_tpu.quat import SMPL_JOINT_RANK
 
 
 def _quats(rng, n):
     q = rng.normal(size=(n, 21, 4)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _pose_quats(rng, n, max_angle=2.0):
+    """Pose-LIKE joint quaternions: bounded axis-angle (theta <= 2 rad,
+    as in real SMPL/AMASS joint rotations) so w = cos(theta/2) >= 0.54 —
+    the regime the 'fast' prescreen's w-hemisphere canonicalization
+    assumes. Uniform-random S^3 quats (``_quats``) are NOT pose-like:
+    ~15% of joints land within sign-flip range of the w=0 boundary and
+    split near pairs (covered by the upper-bound + recall tests instead)."""
+    axis = rng.normal(size=(n, 21, 3)).astype(np.float32)
+    axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+    theta = rng.uniform(0.0, max_angle, size=(n, 21, 1)).astype(np.float32)
+    return np.concatenate(
+        [np.cos(theta / 2), np.sin(theta / 2) * axis], axis=-1)
+
+
+def _manifold(rng, n_base, per_base, sigma):
+    """Near-neighbor regime (the labeling workload): clusters of small
+    perturbations around a few pose-like base poses, so every row has
+    same-cluster neighbors with all-positive per-joint dots in the w > 0
+    hemisphere — where the 'fast' prescreen's upper bound is exact by
+    construction."""
+    base = _pose_quats(rng, n_base)
+    q = np.repeat(base, per_base, axis=0)
+    q = q + sigma * rng.normal(size=q.shape).astype(np.float32)
     return q / np.linalg.norm(q, axis=-1, keepdims=True)
 
 
@@ -64,8 +91,9 @@ def test_fused_mxu_dots_match_xla(rng, impl):
 def test_fused_validates_inputs(rng):
     q = jnp.asarray(_quats(rng, 4))
     c = jnp.asarray(_quats(rng, 16))
-    with pytest.raises(ValueError, match="k <= 8"):
-        fused_geodesic_topk(q, c, 9, interpret=True)
+    with pytest.raises(ValueError, match="k <= 32"):
+        fused_geodesic_topk(q, jnp.asarray(_quats(rng, 64)), 33,
+                            interpret=True)
     with pytest.raises(ValueError, match="corpus of at least"):
         fused_geodesic_topk(q, jnp.asarray(_quats(rng, 3)), 5, interpret=True)
     with pytest.raises(ValueError, match="weights"):
@@ -126,6 +154,102 @@ def test_label_sequence_fused_rejects_ineligible(rng):
                        fused=True, rng=np.random.default_rng(0))
 
 
+def test_fused_k_beyond_8(rng):
+    """k > 8 widens the running-best scratch to the next 8-lane step
+    (kpad=16 here) and must still match the XLA exact path."""
+    q = jnp.asarray(_quats(rng, 16))
+    c = jnp.asarray(_quats(rng, 400))
+    d_ref, i_ref = geodesic_topk(q, c, 12)
+    d, i = fused_geodesic_topk(q, c, 12, tile_q=8, tile_t=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_fused_fast_prescreen_is_upper_bound(rng):
+    """dot_impl='mxu_fast' scores by sum_j w_j (1 - dot_j) of the
+    hemisphere-canonicalized pair — an UPPER bound on the true geodesic
+    distance (equality iff every canonicalized per-joint dot >= 0). The
+    bound must hold for every (query, returned-candidate) pair, clusters
+    or not."""
+    q_np = _quats(rng, 24)
+    c_np = _quats(rng, 300)
+    d, i = fused_geodesic_topk(jnp.asarray(q_np), jnp.asarray(c_np), 8,
+                               tile_q=8, tile_t=128, dot_impl="mxu_fast",
+                               interpret=True)
+    d, i = np.asarray(d), np.asarray(i)
+    dots = np.sum(q_np[:, None] * c_np[i], axis=-1)       # (Q, k, 21)
+    true = np.mean(1.0 - np.abs(dots), axis=-1)           # (Q, k)
+    assert np.all(d >= true - 1e-6)
+
+
+def test_fused_fast_exact_on_near_neighbors(rng):
+    """The labeling workload (clustered corpus, near-neighbor queries):
+    prescreen + exact rerank reproduces the exact top-k bit-for-bit —
+    the 'fast' exactness contract of label_sequence(precision='fast')."""
+    c_np = _manifold(rng, 12, 40, sigma=0.05)             # 480-row corpus
+    q_np = _manifold(rng, 12, 4, sigma=0.05)
+    # same base poses: re-seed so queries perturb the same clusters
+    rng2 = np.random.default_rng(3)
+    base = c_np[::40]
+    q_np = np.repeat(base, 4, axis=0)
+    q_np = q_np + 0.05 * rng2.normal(size=q_np.shape).astype(np.float32)
+    q_np /= np.linalg.norm(q_np, axis=-1, keepdims=True)
+    q, c = jnp.asarray(q_np), jnp.asarray(c_np)
+    d_ref, i_ref = geodesic_topk(q, c, 5)
+    d, i = fused_geodesic_topk_fast(q, c, 5, tile_q=8, tile_t=128,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_fused_fast_weighted(rng):
+    w = (SMPL_JOINT_RANK / np.linalg.norm(SMPL_JOINT_RANK)).astype(np.float32)
+    c_np = _manifold(rng, 10, 30, sigma=0.05)
+    q_np = c_np[::7]  # exact corpus rows as queries: nearest is themselves
+    q, c = jnp.asarray(q_np), jnp.asarray(c_np)
+    d_ref, i_ref = geodesic_topk(q, c, 4, weights=jnp.asarray(w))
+    d, i = fused_geodesic_topk_fast(q, c, 4, weights=w, tile_q=8,
+                                    tile_t=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_fused_fast_recall_on_adversarial_quats(rng):
+    """Uniform-random S^3 corpora are the prescreen's WORST case: joints
+    near the w=0 canonicalization boundary split near pairs and loosen the
+    bound. The composite must degrade gracefully (high-but-not-perfect
+    recall, distances still exact-metric on whatever it returns), not
+    collapse."""
+    q_np = _quats(rng, 32)
+    c_np = _quats(rng, 512)
+    q, c = jnp.asarray(q_np), jnp.asarray(c_np)
+    d_ref, i_ref = geodesic_topk(q, c, 5)
+    d, i = fused_geodesic_topk_fast(q, c, 5, tile_q=8, tile_t=128,
+                                    interpret=True)
+    i, i_ref = np.asarray(i), np.asarray(i_ref)
+    recall = np.mean([len(set(a) & set(b)) / 5.0 for a, b in zip(i, i_ref)])
+    # measured ~0.22 on this seed: on uniform S^3 every candidate is
+    # roughly equidistant (mean label 0.42, spread ~10%), so set identity
+    # collapses while label VALUES stay within ~11% — this regime is what
+    # precision='highest'/'default' are for, not 'fast'
+    assert recall >= 0.1, recall
+    d_np, dref_np = np.asarray(d), np.asarray(d_ref)
+    rel = np.abs(d_np.mean(1) - dref_np.mean(1)) / dref_np.mean(1)
+    assert rel.mean() <= 0.2, rel.mean()
+    # returned distances are the EXACT metric of the returned candidates
+    dots = np.sum(q_np[:, None] * c_np[i], axis=-1)
+    true = np.mean(1.0 - np.abs(dots), axis=-1)
+    np.testing.assert_allclose(np.asarray(d), true, atol=1e-6)
+
+
+def test_fused_fast_validates_k(rng):
+    q = jnp.asarray(_quats(rng, 4))
+    c = jnp.asarray(_quats(rng, 64))
+    with pytest.raises(ValueError, match="prescreen_k"):
+        fused_geodesic_topk_fast(q, c, 9, prescreen_k=8, interpret=True)
+
+
 def test_fused_duplicate_corpus_rows(rng):
     """k duplicates of the query in the corpus: distances collapse to ~0 and
     every duplicate index is found (the running-best merge must keep
@@ -137,6 +261,56 @@ def test_fused_duplicate_corpus_rows(rng):
                                tile_q=8, tile_t=128, interpret=True)
     assert np.asarray(d)[0].max() < 1e-6
     assert set(np.asarray(i)[0]) == {10, 50, 90}
+
+
+def test_label_sequence_fast_precision_wiring(rng):
+    """precision='fast' routes fused labeling through the prescreen+rerank
+    path and reproduces the exact labels on the near-neighbor workload; the
+    XLA fallback (fused=False) degrades gracefully to 'default'
+    precision instead of crashing on the unknown name."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from posendf_tpu.data.prepare import NoiseSpec, label_sequence
+
+    corpus = jnp.asarray(_manifold(rng, 10, 30, sigma=0.05))
+    seq = np.asarray(corpus[::15])
+    kw = dict(num_queries=32, k=4, query_batch=16,
+              spec=NoiseSpec(sigmas=(0.01, 0.05), distribution=(0.5, 0.5)))
+    ref = label_sequence(seq, corpus, fused=False, precision="highest",
+                         rng=np.random.default_rng(7), **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out = label_sequence(seq, corpus, fused=True, precision="fast",
+                             rng=np.random.default_rng(7), **kw)
+    np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
+    np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
+    # fallback path: precision='fast' without the fused kernel must run
+    # (XLA has no 'fast' engine; it takes 'default')
+    label_sequence(seq, corpus, fused=False, precision="fast",
+                   rng=np.random.default_rng(7), **kw)
+
+
+def test_label_sequence_fast_sharded(rng):
+    """precision='fast' under a mesh: the prescreen+rerank composite
+    shard_maps like the plain kernel (queries sharded, corpus replicated)
+    and keeps the exact labels."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    from posendf_tpu.data.prepare import NoiseSpec, label_sequence
+
+    corpus = jnp.asarray(_manifold(rng, 10, 30, sigma=0.05))
+    seq = np.asarray(corpus[::15])
+    kw = dict(num_queries=32, k=4, query_batch=16,
+              spec=NoiseSpec(sigmas=(0.01, 0.05), distribution=(0.5, 0.5)))
+    ref = label_sequence(seq, corpus, fused=False, precision="highest",
+                         rng=np.random.default_rng(7), **kw)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    with pltpu.force_tpu_interpret_mode():
+        out = label_sequence(seq, corpus, fused=True, precision="fast",
+                             mesh=mesh, rng=np.random.default_rng(7), **kw)
+    np.testing.assert_allclose(out["dist"], ref["dist"], atol=1e-6)
+    np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
 
 
 def test_label_sequence_fused_sharded(rng):
