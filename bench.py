@@ -479,6 +479,26 @@ def main():
         _section_failed('knn_fused')
         knn_fused_qps = None
 
+    # 'fast' labeling composite (label_sequence(precision='fast')): ONE
+    # K=84 systolic pass per distance tile scoring the hemisphere-
+    # canonicalized upper bound, then exact fp32 rerank of 8 candidates —
+    # exact labels for near-neighbor queries (see ops/fused_knn.py)
+    knn_fast_qps = None
+    try:
+        from posendf_tpu.ops.fused_knn import fused_geodesic_topk_fast
+
+        @jax.jit
+        def knn_fast_once(q, c):
+            d, idx = fused_geodesic_topk_fast(q, c, 5)
+            return jnp.sum(d) + idx[0, 0]
+
+        float(knn_fast_once(queries, corpus))
+        knn_fast_s = timed(lambda: float(knn_fast_once(queries, corpus)))
+        knn_fast_qps = queries.shape[0] / knn_fast_s
+    except Exception:
+        _section_failed('knn_fast')
+        knn_fast_qps = None
+
     # ---------- mesh-sharded labeling (the Slurm-fan-out replacement) ------
     # label_sequence(mesh=) end to end: noisy-query sampling + sharded
     # geodesic top-5 + host readback, on a data mesh over all local devices
@@ -518,6 +538,7 @@ def main():
     knn_1m_qps = None
     knn_1m_exact_qps = None
     knn_1m_bf16_qps = None
+    knn_1m_fast_qps = None
     try:
         from posendf_tpu.ops.fused_knn import fused_geodesic_topk
 
@@ -559,6 +580,25 @@ def main():
         knn_1m_exact_s = timed(
             lambda: float(knn_1m_exact_once(queries, corpus_1m)))
         knn_1m_exact_qps = queries.shape[0] / knn_1m_exact_s
+
+        # 'fast' prescreen+rerank at AMASS scale — the headline labeling
+        # engine (2.05x the bf16-MXU approximate path, 3.7x exact, with
+        # near-exact labels on pose corpora; measured 2026-08-20)
+        try:
+            from posendf_tpu.ops.fused_knn import fused_geodesic_topk_fast
+
+            @jax.jit
+            def knn_1m_fast_once(q, c):
+                d, idx = fused_geodesic_topk_fast(q, c, 5)
+                return jnp.sum(d) + idx[0, 0]
+
+            float(knn_1m_fast_once(queries, corpus_1m))
+            knn_1m_fast_s = timed(
+                lambda: float(knn_1m_fast_once(queries, corpus_1m)))
+            knn_1m_fast_qps = queries.shape[0] / knn_1m_fast_s
+        except Exception:
+            _section_failed('knn_1m_fast')
+            knn_1m_fast_qps = None
         del c1, corpus_1m
     except Exception:
         _section_failed('knn_1m')
@@ -716,6 +756,8 @@ def main():
                 round(knn_qps, 1) if knn_qps else None,
             "knn_fused_qps":
                 round(knn_fused_qps, 1) if knn_fused_qps else None,
+            "knn_fast_qps":
+                round(knn_fast_qps, 1) if knn_fast_qps else None,
             "knn_sharded_qps":
                 round(knn_sharded_qps, 1) if knn_sharded_qps else None,
             "knn_fused_1m_corpus_qps":

@@ -30,10 +30,12 @@ swaps near-tie neighbors (~95% of top-5 sets identical on random corpora)
 'mxu' — HIGHEST-precision stacked-bf16 dots: ~1e-7 of fp32 but SLOWER
 than the VPU path (17.4k / 4.8k qps — the pass stacking wastes the K=4
 contraction), kept for the record;
-'mxu_fast' — ONE K=84 systolic pass per distance tile computing the
-hemisphere-canonicalized upper bound sum_j w_j (1 - dot_j) (tight for
-near neighbors); prescreen engine for ``fused_geodesic_topk_fast``,
-which reranks the candidates with the exact metric.
+'mxu_fast' — ONE K=84 contraction per distance tile (a manual 3-pass
+bf16 split: ~4e-6 absolute, since single-pass bf16's ~1e-3 bound noise
+reorders near-tie candidates) computing the hemisphere-canonicalized
+upper bound sum_j w_j (1 - dot_j) (tight for near neighbors); prescreen
+engine for ``fused_geodesic_topk_fast``, which reranks the candidates
+with the exact metric.
 
 Layout notes (Mosaic): queries ride the SUBLANES of the (TILE_Q, TILE_T)
 distance tile and the corpus tile rides the LANES, so the corpus operand is
@@ -103,10 +105,28 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
         # distance (equality whenever every per-joint dot >= 0, which
         # holds for near neighbors). The wrapper folds w into the corpus
         # and reranks candidates with the exact metric.
-        d = jax.lax.dot_general(
-            q_ref[...], c_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)
+        # Precision matters here: single-pass bf16 (DEFAULT) perturbs the
+        # bound ~1e-3 — enough to reorder near-tie candidates and drop
+        # device top-5 identity to 95.8% on sigma-0.05 clusters (measured
+        # 2026-08-20). Mosaic lowers HIGHEST as ~6 bf16 passes (-19% qps)
+        # and rejects HIGH, so do the classic 3-pass bf16 split by hand:
+        # x = hi + lo with hi = bf16(x) ⇒ x@y ≈ hi@yh + hi@yl + lo@yh
+        # (dropped lo@lo term ~2^-18 relative ≈ 4e-6 absolute — two
+        # decades below the ~1e-3 near-tie spacing that broke DEFAULT).
+        qf32 = q_ref[...]
+        cf32 = c_ref[...]
+        q_hi = qf32.astype(jnp.bfloat16)
+        c_hi = cf32.astype(jnp.bfloat16)
+        q_lo = (qf32 - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        c_lo = (cf32 - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def bf16_dot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+
+        d = bf16_dot(q_hi, c_hi) + bf16_dot(q_hi, c_lo) + bf16_dot(q_lo, c_hi)
         w_total = 1.0 if weights is None else float(sum(weights))
         geo = w_total - d
     else:
@@ -286,7 +306,7 @@ def fused_geodesic_topk_fast(
     prescreen_k: int = _KPAD,
     weights: Optional[np.ndarray] = None,
     tile_q: int = 256,
-    tile_t: int = 2048,
+    tile_t: int = 8192,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-stage exact-metric top-k: single-MXU-pass upper-bound prescreen
