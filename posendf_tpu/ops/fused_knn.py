@@ -152,20 +152,42 @@ def _knn_kernel(q_ref, c_ref, dout_ref, iout_ref, bestd, besti, *,
     # one cheap pass and keeps the kernel branch-free)
     geo = jnp.where(col < n_corpus, geo, _BIG)
 
-    # ---- extract this tile's k smallest and fold into the running best
+    # ---- extract this tile's k smallest and fold into the running best.
+    # Early-exit while_loop instead of a fixed k-pass unroll: the i-th
+    # extracted tile minimum is non-decreasing in i and a row merges only
+    # while m < its running k-th-best, so once EVERY row of the query tile
+    # has m >= bmax the remaining passes are provably no-ops. After the
+    # first few corpus slabs the running best is already tight and most
+    # tiles contribute 0-2 candidates, so expected passes drop from k to
+    # ~1-2 — the extraction loop, not the distance compute, dominates this
+    # kernel (the K=84 'fast' contraction is ~2% of runtime).
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (tq, kpad), 1)
-    for _ in range(k):
-        m = jnp.min(geo, axis=1, keepdims=True)                       # (TQ,1)
+
+    def _extract_cond(state):
+        i, _geo, m, bmax = state
+        return jax.lax.bitwise_and(i < k, jnp.any(m < bmax))
+
+    def _extract_body(state):
+        i, geo, m, bmax = state
         idx = jnp.min(jnp.where(geo == m, col, _IBIG), axis=1,
                       keepdims=True)                                  # (TQ,1)
         geo = jnp.where(col == idx, _BIG, geo)
         bd = bestd[:]
-        bmax = jnp.max(bd, axis=1, keepdims=True)
         bpos = jnp.min(jnp.where(bd == bmax, lane8, kpad), axis=1,
                        keepdims=True)
         sel = (lane8 == bpos) & (m < bmax)
         bestd[:] = jnp.where(sel, m, bd)
         besti[:] = jnp.where(sel, idx, besti[:])
+        return (i + 1,
+                geo,
+                jnp.min(geo, axis=1, keepdims=True),
+                jnp.max(bestd[:], axis=1, keepdims=True))
+
+    jax.lax.while_loop(
+        _extract_cond, _extract_body,
+        (jnp.int32(0), geo,
+         jnp.min(geo, axis=1, keepdims=True),
+         jnp.max(bestd[:], axis=1, keepdims=True)))
 
     # ---- after the last corpus slab: emit the best ascending
     @pl.when(j == n_ctiles - 1)
