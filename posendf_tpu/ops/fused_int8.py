@@ -102,7 +102,13 @@ def quantize_posendf(
          "layers": [per-layer dict: {"w","b"} f32 or
                     {"wq","dq","b","inv_sa"} int8],
          "window": (start, stop),
-         "report": {"sa_max": [...], "w_absmax": [...]}}
+         "report": {"sa_max": [...], "w_absmax": [...],
+                    "floored_channels": [...]}}
+
+    ``report['floored_channels']`` counts, per quantized layer, input
+    channels whose calibration absmax sat below the numeric floor (dead or
+    uncovered during calibration) — nonzero counts on a layer with live
+    serving traffic mean the calibration set under-covers it.
     """
     from posendf_tpu.models.encoder import structure_encoder_apply
     from posendf_tpu.quat import joint_axis_normalize
@@ -128,17 +134,24 @@ def quantize_posendf(
         h = act(h @ dfnet_params[f"w{l}"] + dfnet_params[f"b{l}"])
 
     layers: List[Dict] = []
-    report = {"sa_max": [], "w_absmax": [], "window": (start, stop)}
+    report = {"sa_max": [], "w_absmax": [], "floored_channels": [],
+              "window": (start, stop)}
     for l in range(num_layers):
         w = dfnet_params[f"w{l}"]
         b = dfnet_params[f"b{l}"]
         if start <= l < stop:
-            # per-input-channel activation scale, floored so a dead channel
-            # (constant ~0 activation) can't blow up 1/sa — its weight row
-            # then quantizes to ~0, which is exactly its contribution
-            absmax = jnp.max(jnp.abs(inputs[l]), axis=0)        # (in,)
-            absmax = jnp.maximum(absmax,
-                                 jnp.maximum(1e-6 * jnp.max(absmax), 1e-12))
+            # per-input-channel activation scale, floored so a channel that
+            # is ~0 over the CALIBRATION set can't blow up 1/sa — its weight
+            # row then quantizes to ~0, which matches its contribution as
+            # long as the channel stays ~0 at serving time too. Standard
+            # static-PTQ caveat: a channel the calibration set under-covers
+            # saturates at +-127 when it activates later; the per-layer
+            # under-covered-channel counts are surfaced in
+            # report['floored_channels'] so callers can detect a
+            # non-representative calibration set.
+            raw_absmax = jnp.max(jnp.abs(inputs[l]), axis=0)     # (in,)
+            floor = jnp.maximum(1e-6 * jnp.max(raw_absmax), 1e-12)
+            absmax = jnp.maximum(raw_absmax, floor)
             sa = absmax / 127.0                                  # (in,)
             w_folded = sa[:, None] * w                           # (in, out)
             sw = jnp.maximum(jnp.max(jnp.abs(w_folded), axis=0),
@@ -152,6 +165,8 @@ def quantize_posendf(
             })
             report["sa_max"].append(float(jnp.max(sa) * 127.0))
             report["w_absmax"].append(float(jnp.max(jnp.abs(w))))
+            report["floored_channels"].append(
+                int(jnp.sum(raw_absmax < floor)))
         else:
             layers.append({"w": jnp.asarray(w, jnp.float32),
                            "b": jnp.asarray(b, jnp.float32)})

@@ -58,7 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_geodesic_topk", "fused_geodesic_topk_fast"]
 
-_KPAD = 8          # running-best width (lanes); k <= _KPAD
+_KPAD = 8          # minimum running-best width (lanes); widened in 8-lane
+                   # steps up to the k <= 32 contract (fused_geodesic_topk)
 _BIG = 3.0e38
 _IBIG = 2**31 - 1
 
@@ -257,11 +258,21 @@ def fused_geodesic_topk(
     dot_impl: str = "vpu",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact geodesic top-k, single fused kernel. Returns (dists (Q, k),
-    indices (Q, k)), ascending — same contract as ``knn.geodesic_topk``.
+    """Geodesic top-k, single fused kernel. Returns (dists (Q, k),
+    indices (Q, k)), ascending — same contract as ``knn.geodesic_topk``
+    under the exact engines ('vpu' fp32 default, 'mxu' stacked-bf16).
+
+    NOT the exact metric under ``dot_impl='mxu_fast'``: that engine returns
+    the hemisphere-canonicalized UPPER BOUND ``sum_j w_j (1 - dot_j)``
+    (equal to the true distance only when every per-joint dot >= 0), and
+    its ranking is approximate for non-near pairs — it exists as the
+    prescreen stage of :func:`fused_geodesic_topk_fast`, which reranks
+    with the exact metric. 'mxu_bf16' is the true metric with single-pass
+    bf16 noise (~1e-3).
 
     ``weights`` must be a CONCRETE (host) array for the fused path — it is
-    baked into the kernel as constants (21 floats). k <= 8.
+    baked into the kernel as constants (21 floats). k <= 32 (the running-
+    best scratch widens in 8-lane steps).
     """
     kpad = max(_KPAD, -(-k // 8) * 8)   # running-best width, 8-lane steps
     if k > 32:
@@ -325,7 +336,7 @@ def fused_geodesic_topk_fast(
     corpus_quats: jax.Array,  # (N, J, 4)
     k: int,
     *,
-    prescreen_k: int = _KPAD,
+    prescreen_k: Optional[int] = None,
     weights: Optional[np.ndarray] = None,
     tile_q: int = 256,
     tile_t: int = 8192,
@@ -351,7 +362,15 @@ def fused_geodesic_topk_fast(
     sign-flip range of w=0) recall degrades gracefully instead — the
     adversarial test bounds it — and the returned distances are always
     the exact metric of whatever candidates survive.
+
+    ``prescreen_k`` defaults to ``max(2*k, 8)`` so the exact rerank always
+    has candidate margin to correct prescreen ordering errors (at
+    ``prescreen_k == k`` the rerank can only re-sort, and recall rests
+    entirely on the bound's tightness). Still one kernel pass either way —
+    the running-best scratch rounds to 8-lane steps.
     """
+    if prescreen_k is None:
+        prescreen_k = max(2 * k, _KPAD)
     if k > prescreen_k:
         raise ValueError(f"k={k} > prescreen_k={prescreen_k}")
     prescreen_k = max(k, min(prescreen_k, corpus_quats.shape[0]))
