@@ -33,8 +33,9 @@ from posendf_tpu.quat import axis_angle_to_quaternion
 from posendf_tpu.smpl import BodyModel
 from posendf_tpu.smpl.lbs import lbs_forward, with_landmarks
 
-__all__ = ["MotionDenoiser", "DENOISE_SPECS", "BALANCED_SPECS", "v2v_cm",
-           "run_cli"]
+__all__ = ["MotionDenoiser", "DENOISE_SPECS", "BALANCED_SPECS",
+           "ADAPTIVE_SPECS", "estimate_clip_noise", "adaptive_runtime",
+           "v2v_cm", "run_cli"]
 
 
 DENOISE_SPECS = {
@@ -57,6 +58,105 @@ BALANCED_SPECS = {
     "data": AnnealSpec(scale=100.0, power=1, anneal=-1.0),
 }
 
+# Field-adaptive schedule (``--specs adaptive``): the STATIC fields below
+# are the s=1 endpoint (= reference-exact); per clip, runtime overrides
+# interpolate scale/anneal/gating toward a strongly input-anchored s=0
+# endpoint as a function of the field's own noise estimate (see
+# ``estimate_clip_noise`` / ``adaptive_runtime``). Fixes the measured
+# low-sigma regression: the fixed reference schedule quadruples the error
+# of near-clean clips (docs/quality/seed_robustness_*.json, sigma 0.01:
+# v2v 0.72 -> 5.8 cm reference / 2.9 cm balanced) because its annealed
+# data weight decays 10x and its temporal weight grows 10x regardless of
+# how noisy the input actually is.
+ADAPTIVE_SPECS = {
+    "pose_pr": AnnealSpec(scale=1e7, power=2, anneal=-1.0),
+    "temp": AnnealSpec(scale=10.0, power=1, anneal=+1.0),
+    "data": AnnealSpec(scale=100.0, power=1, anneal=-1.0, active_after=0),
+}
+
+
+def adaptive_runtime(s: float, prior_gain: float = 1.0) -> dict:
+    """Map a clip-level noise estimate ``s in [0, 1]`` to the runtime
+    schedule overrides (``aux['anneal_runtime']`` for the adaptive solver).
+
+    s = 1 reproduces the reference schedule EXACTLY
+    (``motion_denoise.py:31-34``); s = 0 is the near-clean endpoint —
+    1000x weaker prior peak, 100x weaker temporal weight, and a data
+    anchor that stays at full strength for the whole solve instead of
+    decaying 10x (log-space interpolation in between):
+
+      pose_pr scale: 10^(4 + 3s)   (1e4 .. 1e7)
+      temp    scale: 10^(2s - 1)   (0.1 .. 10)
+      data   anneal: -s            (constant .. 1/(1+it) decay)
+      data     gate: active when it > s - 1  (always .. after iter 0)
+
+    The weight map alone cannot bound a near-clean clip's drift: Adam is
+    invariant to global loss scale, so its late-step oscillation floor is
+    set by the LEARNING RATE, not the weights — the companion
+    ``aux['lr_runtime'] = 10^(s-1)`` (0.1x .. 1x, set by MotionDenoiser)
+    shrinks the step size in lockstep with the estimated noise.
+
+    Values are returned as jnp scalars so they are traced ARGUMENTS of the
+    jitted solve — one compile serves every clip's schedule.
+    """
+    s = float(np.clip(s, 0.0, 1.0))
+    return {
+        "pose_pr": {"scale": jnp.float32(prior_gain * 10.0 ** (4.0 + 3.0 * s))},
+        "temp": {"scale": jnp.float32(10.0 ** (2.0 * s - 1.0))},
+        "data": {"anneal": jnp.float32(-s),
+                 "active_after": jnp.float32(s - 1.0)},
+    }
+
+
+def estimate_clip_noise(module, params, quats: jax.Array,
+                        key: "jax.Array" = None, *,
+                        sigma_ref: float = 0.1,
+                        floor_steps: int = 10) -> dict:
+    """Estimate a clip's noise level with the field itself (no ground truth).
+
+    Three cheap field statistics (two forwards + a ``floor_steps``-step
+    projection of the clip — microseconds next to the 500-step solve):
+
+      d_input = mean field distance of the input poses;
+      d_floor = mean distance after projecting the clip onto the manifold
+                (the field's OWN attainable floor in this region — absorbs
+                any constant bias of the learned field);
+      d_probe = mean distance of the input re-noised at a reference level
+                (``sigma_ref`` uniform quaternion noise, the training
+                sampler's family, ``create_data.py:88``) — the field's
+                measured response to KNOWN extra noise, which calibrates
+                the scale without any dataset statistics.
+
+    Returns ``{"s", "d_input", "d_floor", "d_probe"}`` with
+    ``s = clip((d_input - d_floor) / (d_probe - d_floor), 0, 1)``:
+    ~0 for clips the field reads as on-manifold, ~1 once the input is at
+    least ``sigma_ref``-noisy (d_probe saturates toward d_input there).
+    A degenerate field (zero span) yields s = 0 — the input-anchored
+    endpoint, the safe schedule when the field carries no information.
+    """
+    from posendf_tpu.projection import project
+
+    if key is None:
+        key = jax.random.key(0)
+    quats = quats.reshape(-1, quats.shape[-2], 4)
+
+    @jax.jit
+    def stats(params, quats, key):
+        d_input = jnp.mean(module.apply({"params": params}, quats))
+        proj, _ = project(module, params, quats, steps=floor_steps)
+        d_floor = jnp.mean(module.apply({"params": params}, proj))
+        noise = sigma_ref * jax.random.uniform(key, quats.shape)
+        probe = quats + noise
+        probe = probe / jnp.linalg.norm(probe, axis=-1, keepdims=True)
+        d_probe = jnp.mean(module.apply({"params": params}, probe))
+        return d_input, d_floor, d_probe
+
+    d_input, d_floor, d_probe = (float(x) for x in stats(params, quats, key))
+    span = d_probe - d_floor
+    s = (d_input - d_floor) / span if span > 1e-12 else 0.0
+    return {"s": float(np.clip(s, 0.0, 1.0)), "d_input": d_input,
+            "d_floor": d_floor, "d_probe": d_probe}
+
 
 def v2v_cm(verts_a: jax.Array, verts_b: jax.Array) -> float:
     """Mean per-vertex distance in centimeters (reference metric,
@@ -66,14 +166,26 @@ def v2v_cm(verts_a: jax.Array, verts_b: jax.Array) -> float:
 
 
 class MotionDenoiser:
-    def __init__(self, module, params, body_model: BodyModel, specs=None):
+    def __init__(self, module, params, body_model: BodyModel, specs=None,
+                 prior_gain: float = 1.0):
+        """``specs``: a spec dict (default: the reference-exact
+        ``DENOISE_SPECS``), or the string ``"adaptive"`` for the
+        field-adaptive schedule — per clip, ``estimate_clip_noise`` reads
+        the noise level off the field and ``adaptive_runtime`` interpolates
+        the anneal weights between the input-anchored (s=0) and
+        reference-exact (s=1) endpoints. ``prior_gain`` multiplies the
+        ADAPTIVE prior weight only (0.0 = the ablation's prior-off solve
+        with an otherwise identical adaptive schedule)."""
         self.module = module
         self.params = params
         self.body_model = body_model
-        self.specs = specs or DENOISE_SPECS
+        self.adaptive = specs == "adaptive"
+        self.specs = dict(ADAPTIVE_SPECS) if self.adaptive else (specs or DENOISE_SPECS)
+        self.prior_gain = prior_gain
         # jitted solvers cached by (iterations, steps_per_iter): sequence
         # data flows through the aux pytree, so a benchmark sweep over many
-        # clips of one shape compiles the solve exactly once
+        # clips of one shape compiles the solve exactly once (adaptive
+        # schedules flow through aux as runtime scalars — still one compile)
         self._solvers = {}
 
     def _solver(self, iterations: int, steps_per_iter: int):
@@ -151,6 +263,20 @@ class MotionDenoiser:
             "betas": betas_arr,
             "init_joints": init_joints,
         }
+        noise_est = None
+        if self.adaptive:
+            # the field as the noise sensor: one clip-level estimate picks
+            # this solve's schedule (the fixed reference schedule measurably
+            # QUADRUPLES the error of near-clean inputs — ADAPTIVE_SPECS)
+            B0 = noisy_pose_body.shape[0]
+            in_quats = axis_angle_to_quaternion(
+                jnp.asarray(noisy_pose_body)[:, :63].reshape(B0, 21, 3))
+            noise_est = estimate_clip_noise(self.module, self.params, in_quats)
+            aux["anneal_runtime"] = adaptive_runtime(noise_est["s"],
+                                                     self.prior_gain)
+            # step-size scale 10^(s-1): see adaptive_runtime's docstring
+            aux["lr_runtime"] = jnp.float32(
+                10.0 ** (float(np.clip(noise_est["s"], 0.0, 1.0)) - 1.0))
         solve = self._solver(iterations, steps_per_iter)
         final_pose, history = solve(pose0, aux)
 
@@ -160,6 +286,11 @@ class MotionDenoiser:
             "final_pose_pr": float(history["pose_pr"][-1]),
             "final_temp": float(history["temp"][-1]),
         }
+        if noise_est is not None:
+            metrics["noise_level_s"] = noise_est["s"]
+            metrics["noise_d_input"] = noise_est["d_input"]
+            metrics["noise_d_floor"] = noise_est["d_floor"]
+            metrics["noise_d_probe"] = noise_est["d_probe"]
         if gt_pose_body is not None:
             gt_out = self.body_model(pose_body=gt_pose_body, betas=betas)
             metrics["v2v_cm"] = v2v_cm(out.vertices, gt_out.vertices)
@@ -192,8 +323,8 @@ def run_cli(args) -> None:
     gt = _load_pose_file(args.gt_data, frames=len(noisy)) if args.gt_data else None
     if gt is not None and len(gt) < len(noisy):
         noisy = noisy[: len(gt)]
-    specs = (BALANCED_SPECS
-             if getattr(args, "specs", "reference") == "balanced" else None)
+    specs = {"balanced": BALANCED_SPECS, "adaptive": "adaptive"}.get(
+        getattr(args, "specs", "reference"))
     denoiser = MotionDenoiser(module, params, bm, specs=specs)
     final_pose, metrics = denoiser.optimize(jnp.asarray(noisy),
                                             jnp.asarray(gt) if gt is not None else None)

@@ -17,7 +17,7 @@ computed in-graph, term gating (``data`` active only for it > 0) is a
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, NamedTuple, Tuple
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,9 +36,18 @@ class AnnealSpec(NamedTuple):
     active_after: int = -1  # term active when it > active_after
 
 
-def _weighted(loss: jax.Array, it: jax.Array, spec: AnnealSpec) -> jax.Array:
-    w = spec.scale * (loss ** spec.power) * (1.0 + it) ** spec.anneal
-    return jnp.where(it > spec.active_after, w, 0.0)
+def _weighted(loss: jax.Array, it: jax.Array, spec: AnnealSpec,
+              override: Optional[dict] = None) -> jax.Array:
+    """Apply the spec; ``override`` (per-term entry of aux['anneal_runtime'])
+    replaces scale/anneal/active_after with RUNTIME values — traced scalars
+    flowing through the solver's aux pytree, so one compiled solve serves
+    every per-clip schedule (the field-adaptive denoise path)."""
+    override = override or {}
+    scale = override.get("scale", spec.scale)
+    anneal = override.get("anneal", spec.anneal)
+    active_after = override.get("active_after", spec.active_after)
+    w = scale * (loss ** spec.power) * (1.0 + it) ** anneal
+    return jnp.where(it > active_after, w, 0.0)
 
 
 def make_annealed_solver(
@@ -56,13 +65,21 @@ def make_annealed_solver(
     reads (anchors, body-model tensors, field weights) goes through ``aux``
     so the solver's jit cache is reused across calls with new data — a
     benchmark sweep over N sequences compiles once, not N times.
+
+    Runtime schedules: when ``aux`` is a dict carrying ``"anneal_runtime"``
+    (``{term: {"scale"|"anneal"|"active_after": scalar}}``), those values
+    override the static spec fields per solve WITHOUT recompiling — they
+    are ordinary traced leaves of the aux pytree. ``power`` stays static
+    (it changes the jaxpr).
     """
     optimizer = optax.adam(lr, b1=0.9, b2=0.999)
     total_steps = iterations * steps_per_iter
 
     def total_loss(params, aux, it):
         terms = loss_terms_fn(params, aux)
-        tot = sum(_weighted(terms[k], it, specs[k]) for k in specs)
+        runtime = aux.get("anneal_runtime", {}) if isinstance(aux, dict) else {}
+        tot = sum(_weighted(terms[k], it, specs[k], runtime.get(k))
+                  for k in specs)
         return tot, terms
 
     @jax.jit
@@ -75,6 +92,15 @@ def make_annealed_solver(
             (tot, terms), grads = jax.value_and_grad(total_loss, has_aux=True)(
                 params, aux, it)
             updates, opt_state = optimizer.update(grads, opt_state, params)
+            # runtime step-size scale (aux["lr_runtime"], traced scalar):
+            # Adam is invariant to global LOSS scaling, so a schedule that
+            # only shrinks term weights cannot shrink the solver's late-step
+            # oscillation floor (~lr per step); near-clean clips need the
+            # UPDATES scaled down (the adaptive denoise path sets this)
+            if isinstance(aux, dict) and "lr_runtime" in aux:
+                lr_mult = aux["lr_runtime"]
+                updates = jax.tree_util.tree_map(lambda u: u * lr_mult,
+                                                 updates)
             params = optax.apply_updates(params, updates)
             history = dict(terms, total=tot)
             return (params, opt_state), history

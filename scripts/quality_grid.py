@@ -100,7 +100,7 @@ def main():
     ap.add_argument("--per-pose-noise", action="store_true",
                     help="corrected per-pose noise draws instead of the "
                          "reference's shared-per-group draw")
-    ap.add_argument("--specs", choices=("reference", "balanced"),
+    ap.add_argument("--specs", choices=("reference", "balanced", "adaptive"),
                     default="reference")
     ap.add_argument("--act", choices=("lrelu", "relu", "softplus"),
                     default="lrelu",
@@ -502,6 +502,9 @@ def main():
     body = BodyModel()
     if args.specs == "reference":
         specs = None  # MotionDenoiser default = DENOISE_SPECS (reference)
+    elif args.specs == "adaptive":
+        # field-adaptive per-clip schedule (cli denoise --specs adaptive)
+        specs = "adaptive"
     else:
         # the library's gentler schedule (cli denoise --specs balanced);
         # measured decomposition: docs/quality/run_l8_balanced_solve.json
@@ -513,9 +516,13 @@ def main():
     if args.ablate_prior:
         # identical schedule with the field prior zeroed: the v2v delta per
         # sigma is the prior's measured contribution (VERDICT r3 #3b)
-        base = dict(specs or den.specs)
-        base["pose_pr"] = base["pose_pr"]._replace(scale=0.0)
-        den_nopr = MotionDenoiser(module, params, body, specs=base)
+        if specs == "adaptive":
+            den_nopr = MotionDenoiser(module, params, body, specs="adaptive",
+                                      prior_gain=0.0)
+        else:
+            base = dict(specs or den.specs)
+            base["pose_pr"] = base["pose_pr"]._replace(scale=0.0)
+            den_nopr = MotionDenoiser(module, params, body, specs=base)
 
     @jax.jit
     def field_on_clip(p, noisy63):
@@ -528,7 +535,7 @@ def main():
     grid = []
     eval_rng = _rng(7)
     for sigma in args.sigmas:
-        v_in, v_out, pr_in, pr_out, v_nopr = [], [], [], [], []
+        v_in, v_out, pr_in, pr_out, v_nopr, s_lv = [], [], [], [], [], []
         for c in range(args.clips):
             clean_q = synthetic_motion_sequence(eval_rng, args.frames,
                                                 family=family)
@@ -542,6 +549,8 @@ def main():
             v_in.append(m["v2v_input_cm"])
             v_out.append(m["v2v_cm"])
             pr_out.append(m["final_pose_pr"])
+            if "noise_level_s" in m:
+                s_lv.append(m["noise_level_s"])
             if den_nopr is not None:
                 _, m0 = den_nopr.optimize(jnp.asarray(noisy), jnp.asarray(gt),
                                           iterations=10, steps_per_iter=50)
@@ -553,6 +562,9 @@ def main():
                    float(100 * (1 - np.mean(v_out) / max(np.mean(v_in), 1e-9))),
                "prior_at_input": float(np.mean(pr_in)),
                "final_pose_pr": float(np.mean(pr_out))}
+        if s_lv:
+            # the adaptive schedule's measured per-clip noise estimate
+            row["noise_level_s"] = float(np.mean(s_lv))
         abl = ""
         if den_nopr is not None:
             row["v2v_out_noprior_cm"] = float(np.mean(v_nopr))
@@ -565,11 +577,12 @@ def main():
             abl = (f"  no-prior {row['v2v_out_noprior_cm']:7.3f} cm "
                    f"(prior gain {row['prior_v2v_gain_cm']:+6.3f} cm)")
         grid.append(row)
+        s_tag = f"  s={row['noise_level_s']:.2f}" if s_lv else ""
         print(f"   sigma={sigma:<5}: v2v {row['v2v_input_cm']:7.3f} -> "
               f"{row['v2v_out_cm']:7.3f} cm  "
               f"({row['improvement_pct']:+6.1f}%)  "
               f"prior {row['prior_at_input']:.5f} -> "
-              f"{row['final_pose_pr']:.5f}{abl}", flush=True)
+              f"{row['final_pose_pr']:.5f}{s_tag}{abl}", flush=True)
 
     result = {
         "preset": args.preset, "seed": args.seed,

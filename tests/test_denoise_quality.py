@@ -87,3 +87,54 @@ def test_denoising_drives_poses_onto_learned_manifold(trained):
     assert metrics["final_pose_pr"] < 0.5 * prior_in, (metrics, prior_in)
     # ...and does not damage the sequence (bounded drift from the input)
     assert metrics["v2v_cm"] < 1.3 * metrics["v2v_input_cm"], metrics
+
+
+def test_field_noise_estimate_orders_clips(trained):
+    """The adaptive scheduler's sensor: with a trained field, a clean
+    on-manifold clip must read a LOWER noise level than a heavily corrupted
+    copy of it (the quantity `--specs adaptive` keys the schedule on)."""
+    from posendf_tpu.experiments.denoise import estimate_clip_noise
+    from posendf_tpu.quat import axis_angle_to_quaternion
+
+    rng = np.random.default_rng(5)
+    clean_quats = synthetic_motion_sequence(rng, 12, family=FAMILY)
+    gt = np.asarray(quaternion_to_axis_angle(
+        jnp.asarray(clean_quats))).reshape(12, 63)
+    noisy = gt + 0.25 * rng.standard_normal(gt.shape).astype(np.float32)
+
+    est_clean = estimate_clip_noise(
+        trained.module, trained.params, jnp.asarray(clean_quats))
+    est_noisy = estimate_clip_noise(
+        trained.module, trained.params,
+        axis_angle_to_quaternion(jnp.asarray(noisy).reshape(12, 21, 3)))
+    for est in (est_clean, est_noisy):
+        assert 0.0 <= est["s"] <= 1.0, est
+        assert est["d_floor"] <= est["d_input"] + 1e-6, est
+    assert est_clean["s"] < est_noisy["s"], (est_clean, est_noisy)
+
+
+def test_adaptive_schedule_bounds_near_clean_regression(trained):
+    """The round-4 blemish the adaptive schedule exists to fix: a fixed
+    reference schedule can make a near-clean clip WORSE (measured 4x on the
+    full-size grid). Adaptive must keep the output bounded by the input's
+    own error scale — and never do worse than the reference schedule."""
+    rng = np.random.default_rng(6)
+    clean_quats = synthetic_motion_sequence(rng, 10, family=FAMILY)
+    gt = np.asarray(quaternion_to_axis_angle(
+        jnp.asarray(clean_quats))).reshape(10, 63)
+    noisy = gt + 0.01 * rng.standard_normal(gt.shape).astype(np.float32)
+    body = BodyModel(model=synthetic_model(num_vertices=96, seed=4))
+
+    den_ad = MotionDenoiser(trained.module, trained.params, body,
+                            specs="adaptive")
+    _, m_ad = den_ad.optimize(jnp.asarray(noisy), jnp.asarray(gt),
+                              iterations=5, steps_per_iter=20)
+    den_ref = MotionDenoiser(trained.module, trained.params, body)
+    _, m_ref = den_ref.optimize(jnp.asarray(noisy), jnp.asarray(gt),
+                                iterations=5, steps_per_iter=20)
+    # near-clean input -> the sensor reads low noise
+    assert m_ad["noise_level_s"] < 0.6, m_ad
+    # bounded: no worse than 1.5x the input error, or at worst the
+    # reference schedule's own result (it should be far better)
+    bound = max(1.5 * m_ad["v2v_input_cm"], m_ref["v2v_cm"])
+    assert m_ad["v2v_cm"] <= bound + 1e-6, (m_ad, m_ref)

@@ -69,6 +69,82 @@ def test_annealed_adam_gating():
     np.testing.assert_allclose(np.asarray(x), 0.0, atol=0.05)
 
 
+def test_anneal_runtime_override_matches_static():
+    """Runtime overrides carrying the SAME values as the static spec must
+    reproduce the static solve bit-for-bit (one jaxpr, values as traced
+    scalars), and different runtime values must actually change the solve."""
+    from posendf_tpu.experiments.optim import make_annealed_solver
+
+    target = jnp.asarray([1.0, -2.0, 3.0])
+
+    def terms(x, aux):
+        return {"data": jnp.sum((x - target) ** 2),
+                "pull": jnp.sum(x ** 2)}
+
+    specs = {"data": AnnealSpec(scale=1.0, anneal=-1.0),
+             "pull": AnnealSpec(scale=0.5, anneal=+1.0, active_after=0)}
+    solve = make_annealed_solver(terms, specs, iterations=3,
+                                 steps_per_iter=20, lr=0.05)
+    x_static, _ = solve(jnp.zeros(3), {})
+    same = {"data": {"scale": jnp.float32(1.0), "anneal": jnp.float32(-1.0)},
+            "pull": {"scale": jnp.float32(0.5), "anneal": jnp.float32(1.0),
+                     "active_after": jnp.float32(0.0)}}
+    x_same, _ = solve(jnp.zeros(3), {"anneal_runtime": same})
+    np.testing.assert_array_equal(np.asarray(x_same), np.asarray(x_static))
+
+    # zeroing 'pull' at runtime -> pure quadratic -> strictly closer to the
+    # target than the two-term static solve (which 'pull' drags toward 0)
+    off = {"pull": {"scale": jnp.float32(0.0)}}
+    x_off, _ = solve(jnp.zeros(3), {"anneal_runtime": off})
+    assert not np.allclose(np.asarray(x_off), np.asarray(x_static))
+    err_off = float(np.sum((np.asarray(x_off) - np.asarray(target)) ** 2))
+    err_static = float(np.sum((np.asarray(x_static) - np.asarray(target)) ** 2))
+    assert err_off < err_static, (err_off, err_static)
+
+
+def test_adaptive_runtime_endpoints():
+    """s=1 must reproduce the reference schedule exactly; s=0 is the
+    input-anchored endpoint; out-of-range s clips."""
+    from posendf_tpu.experiments.denoise import (DENOISE_SPECS,
+                                                 adaptive_runtime)
+
+    hi = adaptive_runtime(1.0)
+    assert float(hi["pose_pr"]["scale"]) == pytest.approx(
+        DENOISE_SPECS["pose_pr"].scale)
+    assert float(hi["temp"]["scale"]) == pytest.approx(
+        DENOISE_SPECS["temp"].scale)
+    assert float(hi["data"]["anneal"]) == pytest.approx(
+        DENOISE_SPECS["data"].anneal)
+    assert float(hi["data"]["active_after"]) == pytest.approx(
+        DENOISE_SPECS["data"].active_after)
+
+    lo = adaptive_runtime(0.0)
+    assert float(lo["pose_pr"]["scale"]) == pytest.approx(1e4)
+    assert float(lo["temp"]["scale"]) == pytest.approx(0.1)
+    assert float(lo["data"]["anneal"]) == pytest.approx(0.0)
+    assert float(lo["data"]["active_after"]) == pytest.approx(-1.0)
+
+    # clipping + the ablation's prior_gain
+    assert float(adaptive_runtime(7.3)["temp"]["scale"]) == pytest.approx(10.0)
+    assert float(adaptive_runtime(-2.0)["temp"]["scale"]) == pytest.approx(0.1)
+    assert float(adaptive_runtime(0.5, prior_gain=0.0)["pose_pr"]["scale"]) == 0.0
+
+
+def test_adaptive_denoiser_mechanism(field, body):
+    """specs='adaptive' runs end to end, reports the noise estimate, and the
+    estimate is a valid level in [0, 1]."""
+    module, params = field
+    rng = np.random.default_rng(3)
+    noisy = jnp.asarray(rng.normal(scale=0.3, size=(4, 69)).astype(np.float32))
+    den = MotionDenoiser(module, params, body, specs="adaptive")
+    final_pose, metrics = den.optimize(noisy, iterations=2, steps_per_iter=5)
+    assert final_pose.shape == (4, 69)
+    assert 0.0 <= metrics["noise_level_s"] <= 1.0
+    for k in ("noise_d_input", "noise_d_floor", "noise_d_probe",
+              "v2v_vs_input_cm", "final_pose_pr"):
+        assert np.isfinite(metrics[k]), (k, metrics)
+
+
 def test_motion_denoise_runs_and_improves_prior(field, body):
     module, params = field
     rng = np.random.default_rng(0)
