@@ -29,6 +29,15 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--ckpt", default=None,
                     help="Orbax checkpoint dir or reference torch .tar")
+    ap.add_argument("--int8", action="store_true",
+                    help="also serve the VALUE path through the int8-MXU "
+                         "kernel (post-training quantization on a slice of "
+                         "the serving batch; ~1.6x the f32 fused forward "
+                         "on v5e) and report the int8-vs-f32 agreement")
+    ap.add_argument("--quantized", default=None,
+                    help="saved QuantizedField file (cli export "
+                         "--save-quantized); implies --int8, skips "
+                         "calibration")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +99,48 @@ def main():
     print(f"path: {'fused kernel' if fused else 'XLA scan'}")
     print(f"{dt:.4f} s -> {rate/1e6:.1f}M pose-steps/s")
     print(f"mean field distance: {float(d0):.3e} -> {final_mean:.3e}")
+
+    if args.int8 or args.quantized:
+        # ---- int8 value path: the high-throughput batch-scoring serving
+        # mode (pose -> distance, no gradients) through the int8-MXU kernel
+        from posendf_tpu.field import QuantizedField, make_field
+
+        field = make_field(module, params)
+        if args.quantized:
+            qf = QuantizedField.load(args.quantized)
+            print(f"loaded quantized field from {args.quantized}")
+        else:
+            # calibrate on a slice of the serving distribution itself
+            qf = field.quantize_int8(poses[: min(args.batch, 8192)])
+        win = tuple(qf.qparams["window"])
+        print(f"int8 window: layers {win[0]}..{win[1] - 1} quantized")
+
+        @jax.jit
+        def f32_val(p):
+            d = field.distance_fused(p) if fused else field.distance(p)
+            return d, jnp.sum(d)
+
+        @jax.jit
+        def int8_val(p):
+            d = qf.distance(p) if fused else qf.distance_xla(p)
+            return d, jnp.sum(d)
+
+        d_f32, s = f32_val(poses); float(s)        # compile + sync
+        d_int8, s = int8_val(poses); float(s)
+        t0 = time.perf_counter()
+        _, s = f32_val(poses); float(s)
+        t_f32 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, s = int8_val(poses); float(s)
+        t_int8 = time.perf_counter() - t0
+        err = jnp.abs(d_int8 - d_f32)
+        std = float(jnp.std(d_f32)) or 1.0
+        print(f"value path: f32 {args.batch / t_f32 / 1e6:.1f}M evals/s, "
+              f"int8 {args.batch / t_int8 / 1e6:.1f}M evals/s "
+              f"({t_f32 / t_int8:.2f}x)")
+        print(f"int8 agreement: MAE {float(jnp.mean(err)):.2e} "
+              f"({100 * float(jnp.mean(err)) / std:.2f}% of f32 std), "
+              f"max {float(jnp.max(err)):.2e}")
 
 
 if __name__ == "__main__":

@@ -198,11 +198,27 @@ def cmd_partial(args):
 
 
 def cmd_export(args):
-    from posendf_tpu.export import export_forward, export_project, save_artifact
+    from posendf_tpu.export import (export_forward, export_forward_int8,
+                                    export_project, save_artifact)
 
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    if args.int8 or args.quantized:
+        if args.what != "forward":
+            raise SystemExit(
+                "--int8 exports the forward only (the int8 path is value-"
+                "only; projection needs the f32 gradient paths)")
+        qfield = _load_quantized(args)
+        exp = export_forward_int8(qfield, batch=args.batch,
+                                  platforms=platforms)
+        save_artifact(exp, args.out)
+        win = tuple(qfield.qparams["window"])
+        batch = args.batch if args.batch is not None else "symbolic"
+        print(f"exported int8 forward (quantized layers {win[0]}..{win[1]-1}, "
+              f"batch={batch}, platforms={','.join(exp.platforms)}) "
+              f"-> {args.out}")
+        return
     cfg = _load(args)
     module, params = _load_params(cfg, args.ckpt)
-    platforms = tuple(args.platforms.split(",")) if args.platforms else None
     if args.what == "forward":
         exp = export_forward(module, params, batch=args.batch,
                              platforms=platforms)
@@ -214,6 +230,47 @@ def cmd_export(args):
     batch = args.batch if args.batch is not None else "symbolic"
     print(f"exported {args.what} (batch={batch}, "
           f"platforms={','.join(exp.platforms)}) -> {args.out}")
+
+
+def _load_quantized(args):
+    """The int8 source for `export --int8`: a saved quantized-field file
+    (--quantized), or post-training quantization of the loaded checkpoint
+    against --calib poses (random uniform poses with a warning otherwise —
+    a representative calibration set gives tighter activation scales)."""
+    import jax
+    import numpy as np
+
+    from posendf_tpu.field import QuantizedField, make_field
+
+    if args.quantized:
+        return QuantizedField.load(args.quantized)
+    cfg = _load(args)
+    module, params = _load_params(cfg, args.ckpt)
+    field = make_field(module, params)
+    if args.calib:
+        with np.load(args.calib) as z:
+            key = next(k for k in ("pose", "pose_body", "quats")
+                       if k in z)
+            calib = np.asarray(z[key], np.float32)
+        if calib.ndim == 2 and calib.shape[1] in (63, 69):
+            from posendf_tpu.quat import axis_angle_to_quaternion
+            import jax.numpy as jnp
+
+            calib = np.asarray(axis_angle_to_quaternion(
+                jnp.asarray(calib[:, :63]).reshape(len(calib), 21, 3)))
+        calib = calib.reshape(-1, module.num_joints, 4)
+    else:
+        from posendf_tpu.projection import random_poses
+
+        print("WARNING: no --calib set; calibrating activation scales on "
+              "4096 uniform random poses (pass a representative pose file "
+              "for tighter scales)")
+        calib = random_poses(jax.random.key(0), 4096)
+    qfield = field.quantize_int8(jax.numpy.asarray(calib))
+    if args.save_quantized:
+        qfield.save(args.save_quantized)
+        print(f"saved quantized field -> {args.save_quantized}")
+    return qfield
 
 
 def cmd_interpolate(args):
@@ -240,7 +297,7 @@ def cmd_denoise_bench(args):
     if args.synthesize:
         data_root = synthesize_grid(args.data_root, seqs_per_level=args.seqs_per_level,
                                     family_seed=args.family_seed)
-    specs = BALANCED_SPECS if args.specs == "balanced" else None
+    specs = {"balanced": BALANCED_SPECS, "adaptive": "adaptive"}.get(args.specs)
     denoiser = MotionDenoiser(module, params, bm, specs=specs)
     run_sweep(denoiser, data_root, iterations=args.iterations,
               steps_per_iter=args.steps_per_iter, out_path=args.out)
@@ -324,6 +381,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: current backend)")
     p.add_argument("--no-renorm", action="store_true",
                    help="reference-exact projection (no per-step renorm)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of the DFNet's "
+                        "wide layers before export (value path only; 2x "
+                        "MXU rate on TPU, ~1%% MAE/std on the trained "
+                        "checkpoint — ops/fused_int8.py)")
+    p.add_argument("--calib", default=None, metavar="NPZ",
+                   help="calibration poses for --int8 (npz key pose/"
+                        "pose_body/quats; axis-angle or quaternions). "
+                        "Default: 4096 uniform random poses, with a warning")
+    p.add_argument("--save-quantized", default=None, metavar="PATH",
+                   help="with --int8: also persist the quantized field "
+                        "(QuantizedField.save msgpack; reload with "
+                        "--quantized or QuantizedField.load)")
+    p.add_argument("--quantized", default=None, metavar="PATH",
+                   help="export from a SAVED quantized-field file instead "
+                        "of quantizing --ckpt (implies --int8)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("denoise", help="motion denoising with the field prior")
@@ -332,12 +405,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gt-data", default=None)
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None, help="SMPL model file (.pkl/.npz)")
-    p.add_argument("--specs", choices=("reference", "balanced"),
+    p.add_argument("--specs", choices=("reference", "balanced", "adaptive"),
                    default="reference",
                    help="anneal schedule: 'reference' = motion_denoise.py:31-34"
                         " exact; 'balanced' = gentler prior/temporal weights "
-                        "for near-manifold inputs (measured decomposition in "
-                        "docs/ARCHITECTURE.md §7)")
+                        "for near-manifold inputs; 'adaptive' = per-clip "
+                        "schedule scaled by the field's own noise estimate — "
+                        "fixes the reference schedule's measured low-sigma "
+                        "regression (docs/ARCHITECTURE.md §7)")
     _add_mesh_out(p, "./denoised")
     p.set_defaults(fn=cmd_denoise)
 
@@ -380,7 +455,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seqs-per-level", type=int, default=2)
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--steps-per-iter", type=int, default=50)
-    p.add_argument("--specs", choices=("reference", "balanced"),
+    p.add_argument("--specs", choices=("reference", "balanced", "adaptive"),
                    default="reference",
                    help="anneal schedule for every solve in the sweep "
                         "(see `denoise --specs`)")

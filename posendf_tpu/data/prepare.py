@@ -42,6 +42,7 @@ from posendf_tpu.data.splits import AMASS_SPLITS
 
 __all__ = [
     "sample_amass", "build_corpus", "NoiseSpec", "sample_noisy_queries",
+    "probe_fast_safety", "resolve_knn_precision",
     "label_sequence", "label_split", "run_cli",
 ]
 
@@ -231,6 +232,151 @@ def sample_noisy_queries(
             noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
             out.append(noisy.astype(np.float32))
     return np.concatenate(out)
+
+
+# --------------------------------------------------------------------------
+# 'fast'-engine corpus-safety probe (auto engine selection)
+# --------------------------------------------------------------------------
+
+def probe_fast_safety(
+    corpus_np: np.ndarray,      # (N, 21, 4)
+    rng: Optional[np.random.Generator] = None,
+    *,
+    k: int = 5,
+    weights: Optional[np.ndarray] = None,
+    n_queries: int = 256,
+    corpus_cap: int = 16384,
+    margin: float = 0.05,
+    spec: Optional[NoiseSpec] = None,
+) -> dict:
+    """Measure whether THIS corpus is safe for the 'fast' kNN engine.
+
+    The 'fast' engine's prescreen ranks by an upper bound that is tight
+    only when per-joint dots of canonicalized near pairs stay positive —
+    guaranteed on pose-like corpora (SMPL joint angles < pi keep |w| away
+    from the sign-flip boundary) but measurably broken on uniform-random
+    S^3 corpora (~0.22 recall, ARCHITECTURE §4). This probe replaces that
+    documented footgun with two measured statistics, for microseconds
+    against a labeling job:
+
+      * ``w_margin_frac`` — fraction of joint quaternions within ``margin``
+        of the w=0 canonicalization boundary (the bound's failure channel);
+        pose corpora measure ~0, uniform S^3 ~2*margin/(pi/2) ~ 6%;
+      * ``topk_overlap`` / ``label_mae`` — direct bound-vs-exact agreement
+        on ``n_queries`` noisy queries (the training sampler's sigma grid)
+        against a <= ``corpus_cap``-row corpus sample, evaluating the
+        prescreen bound in pure XLA (``ops/fused_knn.py::
+        geodesic_bound_scores`` — the kernel's exact math to fp32) and
+        reranking exactly, versus the exact top-k.
+
+    ``safe`` = w_margin_frac <= 0.02 AND topk_overlap >= 0.995. The
+    reference picks its faiss prescreen depth 500 blind
+    (``data/prepare_traindata.py:45,192-199``); this measures instead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from posendf_tpu.ops.fused_knn import geodesic_bound_scores
+    from posendf_tpu.ops.knn import geodesic_rerank, geodesic_topk
+
+    rng = rng or np.random.default_rng(12345)
+    spec = spec or NoiseSpec()
+    N = len(corpus_np)
+    if N > corpus_cap:
+        sub = corpus_np[rng.choice(N, corpus_cap, replace=False)]
+    else:
+        sub = corpus_np
+    k_eff = min(k, len(sub))
+    queries = sample_noisy_queries(sub, n_queries, spec, rng,
+                                   per_pose_noise=True)
+
+    w_frac = float(np.mean(np.abs(
+        np.concatenate([sub, queries])[..., 0]) < margin))
+
+    q = jnp.asarray(queries)
+    c = jnp.asarray(sub)
+    w_dev = None if weights is None else jnp.asarray(weights, jnp.float32)
+    d_exact, i_exact = geodesic_topk(q, c, k=k_eff, weights=w_dev,
+                                     precision="highest")
+    scores = geodesic_bound_scores(q, c, weights=weights)
+    prescreen_k = min(max(2 * k_eff, 8), len(sub))
+    _, cand = jax.lax.top_k(-scores, prescreen_k)
+    d_fast, i_fast = geodesic_rerank(q, c, cand, k_eff, w_dev)
+
+    ie, if_ = np.asarray(i_exact), np.asarray(i_fast)
+    overlap = float(np.mean([
+        len(set(ie[r]) & set(if_[r])) / k_eff for r in range(len(ie))]))
+    de, df = np.asarray(d_exact), np.asarray(d_fast)
+    mae = float(np.mean(np.abs(df - de)))
+    scale = max(float(np.mean(de)), 1e-12)
+    return {
+        "safe": bool(w_frac <= 0.02 and overlap >= 0.995),
+        "w_margin_frac": w_frac,
+        "topk_overlap": overlap,
+        "label_mae": mae,
+        "label_mae_rel": mae / scale,
+        "n_queries": int(len(queries)),
+        "corpus_probe_rows": int(len(sub)),
+        "k": int(k_eff),
+    }
+
+
+def resolve_knn_precision(
+    precision: str,
+    corpus_np: np.ndarray,
+    *,
+    k: int = 5,
+    weighted: bool = False,
+    metric: str = "geo",
+    k_candidates: int = 0,
+    space: str = "quat",
+    fused=None,
+    rng: Optional[np.random.Generator] = None,
+    backend: Optional[str] = None,
+    verbose: bool = True,
+) -> Tuple[str, Optional[dict]]:
+    """Resolve ``precision='auto'`` to a concrete engine with a measured
+    corpus-safety probe; other values pass through unchanged.
+
+    'auto' picks **fast** (prescreen + exact rerank, ~2.4-3.4x the exact
+    kernel) when the fast engine applies to this search (single-stage
+    geodesic, k <= 8, TPU backend, fused not disabled) AND
+    :func:`probe_fast_safety` passes on this corpus; **highest** (exact)
+    otherwise. The measured statistic is logged either way and returned.
+    ``backend`` overrides backend detection (tests).
+    """
+    if precision != "auto":
+        return precision, None
+    import jax
+
+    if backend is None:
+        backend = jax.default_backend()
+    eligible = (metric == "geo" and space == "quat" and not k_candidates
+                and k <= 8 and fused is not False and backend == "tpu")
+    if not eligible:
+        if verbose:
+            print("knn auto: fast engine not applicable to this search "
+                  f"(metric={metric}, space={space}, k_candidates="
+                  f"{k_candidates}, k={k}, backend={backend}) -> exact "
+                  "'highest'")
+        return "highest", None
+    from posendf_tpu.quat import SMPL_JOINT_RANK
+
+    w_np = None
+    if weighted:
+        w_np = (np.asarray(SMPL_JOINT_RANK, np.float32)
+                / np.linalg.norm(SMPL_JOINT_RANK))
+    stats = probe_fast_safety(corpus_np, rng, k=k, weights=w_np)
+    choice = "fast" if stats["safe"] else "highest"
+    if verbose:
+        print(f"knn auto probe: w-margin frac {stats['w_margin_frac']:.4f}, "
+              f"top-{stats['k']} overlap {stats['topk_overlap']:.4f}, "
+              f"label MAE {stats['label_mae']:.2e} "
+              f"({100 * stats['label_mae_rel']:.2f}% of label scale) over "
+              f"{stats['n_queries']} queries x "
+              f"{stats['corpus_probe_rows']} rows -> "
+              f"{'FAST (bound tight on this corpus)' if stats['safe'] else 'exact HIGHEST (bound not trustworthy here)'}")
+    return choice, stats
 
 
 # --------------------------------------------------------------------------

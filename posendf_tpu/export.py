@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jexport
 
-__all__ = ["export_forward", "export_project", "save_artifact",
-           "load_artifact"]
+__all__ = ["export_forward", "export_forward_int8", "export_project",
+           "save_artifact", "load_artifact"]
 
 _VERSION_KEY = b"POSENDF_TPU_EXPORT_V1\n"
 
@@ -61,6 +61,39 @@ def export_forward(module, params, *, batch: Optional[int] = None,
     module = _portable(module)
     fn = jax.jit(lambda pose: module.apply({"params": params}, pose))
     return jexport.export(fn, platforms=platforms)(_batch_spec(batch))
+
+
+def export_forward_int8(quantized_field, *, batch: Optional[int] = None,
+                        platforms: Optional[Sequence[str]] = None):
+    """Stage the INT8 forward ``pose (b, 21, 4) -> distance (b, 1)`` with
+    the quantized params baked in.
+
+    Lowers :func:`posendf_tpu.ops.fused_int8.reference_int8_forward` — the
+    pure-XLA int8 arithmetic (same quantize/int8-dot/dequantize ops as the
+    Pallas serving kernel, no Mosaic custom calls) — so the artifact keeps
+    the same portability story as the f32 exports: symbolic batch by
+    default, multi-platform lowering, retuned by the loading runtime. On
+    TPU backends XLA maps the int8 ``dot_general`` onto the MXU's double-
+    rate int8 path. ``quantized_field``: a :class:`posendf_tpu.field.
+    QuantizedField` (from ``Field.quantize_int8`` or ``QuantizedField.
+    load``).
+    """
+    from posendf_tpu.ops.fused_int8 import reference_int8_forward
+
+    m = quantized_field.module
+    qparams = quantized_field.qparams
+
+    def fn(pose):
+        return reference_int8_forward(
+            pose, qparams, parents=m.parents, activation=m.activation,
+            beta=m.beta)
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch
+    spec = jax.ShapeDtypeStruct((b, m.num_joints, 4), jnp.float32)
+    return jexport.export(jax.jit(fn), platforms=platforms)(spec)
 
 
 def export_project(module, params, *, steps: int = 10,

@@ -15,6 +15,7 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["make_field", "Field", "QuantizedField"]
 
@@ -99,11 +100,84 @@ class QuantizedField:
     runs the arithmetic-identical pure-XLA emulation (any backend). The
     calibration report (per-layer activation scales) is at
     ``qparams['report']``.
+
+    Persistence: ``save(path)`` writes one self-contained msgpack file
+    (quantized layers + encoder + window/report + the module attributes the
+    forward needs), ``QuantizedField.load(path)`` restores it with no
+    config — the serving counterpart of the f32 checkpoint formats
+    (``training/checkpoints.py``). The reference's serving persistence is
+    ``torch.load`` of fp32 weights (``model/posendf.py:100-101``); a saved
+    int8 field has no analog there.
     """
+
+    _MAGIC = "posendf-int8-v1"
 
     def __init__(self, module, qparams):
         self.module = module
         self.qparams = qparams
+
+    def save(self, path: str) -> None:
+        """Serialize to one msgpack file (atomic tmp-rename write)."""
+        import os
+
+        from flax.serialization import msgpack_serialize
+
+        m = self.module
+        report = dict(self.qparams["report"])
+        report["window"] = list(report.get("window", self.qparams["window"]))
+        payload = {
+            "magic": self._MAGIC,
+            "meta": {
+                "num_joints": int(m.num_joints),
+                "parents": [int(p) for p in m.parents],
+                "activation": str(m.activation),
+                "beta": float(m.beta),
+                "window": list(self.qparams["window"]),
+                "report": report,
+            },
+            "enc": jax.tree_util.tree_map(np.asarray, self.qparams["enc"]),
+            "layers": {
+                str(i): jax.tree_util.tree_map(np.asarray, lyr)
+                for i, lyr in enumerate(self.qparams["layers"])
+            },
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(msgpack_serialize(payload))
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "QuantizedField":
+        """Restore a :meth:`save` file. Needs no config: the module
+        attributes the int8 forward reads (parents/activation/beta) are in
+        the payload, exposed through a lightweight module view."""
+        from types import SimpleNamespace
+
+        from flax.serialization import msgpack_restore
+
+        with open(path, "rb") as f:
+            payload = msgpack_restore(f.read())
+        if payload.get("magic") != cls._MAGIC:
+            raise ValueError(
+                f"{path!r} is not a posendf_tpu int8 field file")
+        meta = payload["meta"]
+        report = dict(meta["report"])
+        report["window"] = tuple(report["window"])
+        layers = [jax.tree_util.tree_map(jnp.asarray, payload["layers"][str(i)])
+                  for i in range(len(payload["layers"]))]
+        qparams = {
+            "enc": jax.tree_util.tree_map(jnp.asarray, payload["enc"]),
+            "layers": layers,
+            "window": tuple(meta["window"]),
+            "report": report,
+        }
+        module = SimpleNamespace(
+            num_joints=int(meta["num_joints"]),
+            parents=tuple(int(p) for p in meta["parents"]),
+            activation=str(meta["activation"]),
+            beta=float(meta["beta"]),
+        )
+        return cls(module, qparams)
 
     def distance(self, pose: jax.Array) -> jax.Array:
         from posendf_tpu.ops.fused_int8 import fused_posendf_forward_int8

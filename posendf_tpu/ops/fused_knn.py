@@ -56,7 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_geodesic_topk", "fused_geodesic_topk_fast"]
+__all__ = ["fused_geodesic_topk", "fused_geodesic_topk_fast",
+           "geodesic_bound_scores"]
 
 _KPAD = 8          # minimum running-best width (lanes); widened in 8-lane
                    # steps up to the k <= 32 contract (fused_geodesic_topk)
@@ -320,6 +321,39 @@ def fused_geodesic_topk(
     dists, idx = _fused_topk(qf, ct, k, tile_q, tile_t, weights,
                              interpret, N, dot_impl, kpad=kpad)
     return dists[:Q], idx[:Q]
+
+
+def geodesic_bound_scores(
+    query_quats: jax.Array,   # (Q, J, 4)
+    corpus_quats: jax.Array,  # (N, J, 4)
+    weights: Optional[np.ndarray] = None,
+) -> jax.Array:
+    """Pure-XLA form of the 'fast' engine's prescreen bound: the
+    hemisphere-canonicalized ``sum_j w_j (1 - dot_j)`` as ONE (Q, 4J) @
+    (4J, N) contraction — exactly the quantity the ``mxu_fast`` kernel
+    ranks by (to fp32 precision here; the kernel's 3-pass bf16 split is
+    within ~4e-6 of it). Backend-agnostic: this is what the corpus-safety
+    probe (``data/prepare.py::probe_fast_safety``) evaluates the bound
+    with, so 'auto' engine selection works identically on CPU and TPU.
+    Returns (Q, N) bound scores (>= the true geodesic distance, equality
+    iff every canonicalized per-joint dot >= 0).
+    """
+    Q, J, _ = query_quats.shape
+    qf = _canonicalize_flat(query_quats.reshape(Q, J * 4)
+                            .astype(jnp.float32), J)
+    N = corpus_quats.shape[0]
+    cf = _canonicalize_flat(corpus_quats.reshape(N, J * 4)
+                            .astype(jnp.float32), J)
+    if weights is not None:
+        w = np.asarray(weights, np.float32).reshape(-1)
+        cf = cf * jnp.asarray(np.repeat(w, 4))[None, :]
+        w_total = float(w.sum())
+    else:
+        cf = cf * jnp.float32(1.0 / J)
+        w_total = 1.0
+    return w_total - jax.lax.dot_general(
+        qf, cf.T, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _canonicalize_flat(qf: jax.Array, J: int) -> jax.Array:

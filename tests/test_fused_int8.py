@@ -129,6 +129,44 @@ def test_field_quantize_int8_api(model):
     np.testing.assert_allclose(d_krn, d_xla, atol=1e-5)
 
 
+def test_quantized_field_save_load_roundtrip(model, tmp_path):
+    """QuantizedField persistence (the serving-surface gap of round 4):
+    save -> load reproduces the int8 forward EXACTLY (same int8 weights,
+    same scales), needs no module/config at load time, and keeps the
+    calibration report + window."""
+    from posendf_tpu.field import Field, QuantizedField
+
+    module, params = model
+    qfield = Field(module, params).quantize_int8(
+        _poses(np.random.default_rng(5), 256))
+    path = str(tmp_path / "field.int8.msgpack")
+    qfield.save(path)
+    loaded = QuantizedField.load(path)
+
+    assert loaded.qparams["window"] == qfield.qparams["window"]
+    assert (loaded.qparams["report"]["sa_max"]
+            == pytest.approx(qfield.qparams["report"]["sa_max"]))
+    assert loaded.module.parents == tuple(module.parents)
+    q = _poses(np.random.default_rng(6), 128)
+    d_orig = np.asarray(qfield.distance_xla(q))
+    d_load = np.asarray(loaded.distance_xla(q))
+    np.testing.assert_array_equal(d_load, d_orig)
+    # the kernel path reads the same module attrs off the loaded view
+    with pltpu.force_tpu_interpret_mode():
+        d_krn = np.asarray(loaded.distance(q))
+    np.testing.assert_allclose(d_krn, d_orig, atol=1e-5)
+
+
+def test_quantized_field_load_rejects_other_files(model, tmp_path):
+    from posendf_tpu.field import QuantizedField
+
+    path = str(tmp_path / "notafield.msgpack")
+    with open(path, "wb") as f:
+        f.write(b"\x82\xa5magic\xa3nah\xa1x\x01")
+    with pytest.raises(ValueError, match="int8 field"):
+        QuantizedField.load(path)
+
+
 def test_trained_checkpoint_survives_quantization():
     """Realistic (trained) weights at the dims of record: int8 distances
     stay within a small error of f32, and the use of record — ranking /
