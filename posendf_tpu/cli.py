@@ -484,15 +484,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="candidate-search embedding: raw quats or SMPL FK joints")
     p.add_argument("--bm-path", default=None, help="SMPL model for --space joints")
     p.add_argument("--knn-precision",
-                   choices=["highest", "high", "default", "fast"],
-                   default="highest",
-                   help="matmul precision of the distance searches: 'highest' "
-                        "(default) is exact like faiss fp32; 'default' is "
-                        "single-pass bf16, ~2x faster with ~1e-3 distance "
-                        "noise that can swap near-tie neighbors; 'fast' is "
-                        "the single-MXU-pass upper-bound prescreen + exact "
-                        "fp32 rerank (fused path only) — exact labels for "
-                        "near-neighbor queries, see data/prepare.py")
+                   choices=["auto", "highest", "high", "default", "fast"],
+                   default="auto",
+                   help="search engine: 'auto' (default) runs a measured "
+                        "corpus-safety probe once per split and picks 'fast' "
+                        "(2.4-3.4x) when the prescreen bound is tight on THIS "
+                        "corpus, exact 'highest' otherwise — the probe "
+                        "statistics are logged either way; 'highest' is "
+                        "exact like faiss fp32; 'default' is single-pass "
+                        "bf16, ~2x faster with ~1e-3 distance noise; 'fast' "
+                        "forces the upper-bound prescreen + exact rerank "
+                        "(see data/prepare.py::probe_fast_safety)")
     p.add_argument("--fused-knn", choices=["auto", "on", "off"],
                    default="auto",
                    help="single-kernel Pallas kNN search (auto: on-TPU exact "

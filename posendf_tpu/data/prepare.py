@@ -480,8 +480,11 @@ def label_sequence(
     many sequences against one corpus should compute ONCE and pass in
     (``label_split`` does); both are derived here when absent.
 
-    ``precision``: matmul precision of the distance searches. 'highest'
-    (default) is exact — matches faiss fp32 neighbor-for-neighbor on TPU;
+    ``precision``: matmul precision of the distance searches. 'auto'
+    resolves to 'fast' or 'highest' via the measured corpus-safety probe
+    (:func:`resolve_knn_precision` — the prepare-data CLI default);
+    'highest' (this function's default) is exact — matches faiss fp32
+    neighbor-for-neighbor on TPU;
     'default' uses single-pass bf16 MXU (~2x faster) with ~1e-3 distance
     noise that can swap near-tie neighbors; 'fast' (fused path only) runs
     the single-MXU-pass upper-bound prescreen + exact fp32 rerank
@@ -521,6 +524,13 @@ def label_sequence(
     N = corpus.shape[0]
     if corpus_np is None:
         corpus_np = np.asarray(corpus)
+
+    if precision == "auto":
+        # measured corpus-safety probe -> 'fast' or 'highest' (callers
+        # labeling many sequences resolve ONCE via label_split instead)
+        precision, _ = resolve_knn_precision(
+            precision, corpus_np, k=k, weighted=weighted, metric=metric,
+            k_candidates=k_candidates, space=space, fused=fused)
 
     if space == "joints" and corpus_emb is None:
         if body_model is None:
@@ -663,6 +673,8 @@ def label_split(
     1000-run x num_samples loop, ``prepare_traindata.py:45,104``), one
     sharded device program per batch instead of one Slurm job per sequence.
     Idempotent per sequence (skip-if-exists restart guard).
+    ``precision='auto'`` runs the corpus-safety probe ONCE against the
+    split-wide corpus and uses the resolved engine for every sequence.
     """
     import jax.numpy as jnp
 
@@ -670,6 +682,10 @@ def label_split(
     if shard is not None:
         i, n = shard
         files = files[i::n]
+    precision, _ = resolve_knn_precision(
+        precision, corpus, k=k, weighted=weighted, metric=metric,
+        k_candidates=k_candidates, space=space, fused=fused,
+        rng=np.random.default_rng([seed, 9999]))
     corpus_dev = jnp.asarray(corpus)
     # corpus-wide invariants, computed ONCE for the whole split (a full-corpus
     # SMPL forward + device->host copy per sequence would make labeling

@@ -222,3 +222,97 @@ def test_label_sequence_joint_space(rng):
     with pytest.raises(ValueError):
         label_sequence(clean, corpus, num_queries=5, k=2, space="joints",
                        k_candidates=50, rng=np.random.default_rng(0))
+
+
+# --------------------------------------------------------------------------
+# 'auto' engine selection: the measured corpus-safety probe
+# --------------------------------------------------------------------------
+
+def test_probe_fast_safety_pose_corpus_passes():
+    """Pose-like manifold corpus: the prescreen bound is tight (joint
+    angles < pi keep |w| off the sign-flip boundary), so the probe must
+    measure near-perfect bound-vs-exact agreement and declare it safe."""
+    from posendf_tpu.data.prepare import probe_fast_safety
+
+    rng = np.random.default_rng(0)
+    corpus = synthetic_manifold_poses(rng, 2048)
+    stats = probe_fast_safety(corpus, np.random.default_rng(1),
+                              n_queries=128)
+    assert stats["safe"], stats
+    assert stats["w_margin_frac"] <= 0.02, stats
+    assert stats["topk_overlap"] >= 0.995, stats
+    assert stats["label_mae_rel"] < 0.01, stats
+
+
+def test_probe_fast_safety_uniform_s3_fails():
+    """The adversarial corpus ARCHITECTURE 4 documents (~0.22 recall for
+    the blind fast engine): uniform-random S^3 quats put ~15% of joints
+    within sign-flip range of w=0 — the probe must catch it."""
+    from posendf_tpu.data.prepare import probe_fast_safety
+
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(2048, 21, 4)).astype(np.float32)
+    corpus = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    stats = probe_fast_safety(corpus, np.random.default_rng(3),
+                              n_queries=128)
+    assert not stats["safe"], stats
+    assert stats["w_margin_frac"] > 0.02, stats
+
+
+def test_resolve_auto_picks_fast_on_pose_corpus():
+    from posendf_tpu.data.prepare import resolve_knn_precision
+
+    rng = np.random.default_rng(4)
+    corpus = synthetic_manifold_poses(rng, 1024)
+    prec, stats = resolve_knn_precision(
+        "auto", corpus, k=5, rng=np.random.default_rng(5),
+        backend="tpu", verbose=False)
+    assert prec == "fast"
+    assert stats is not None and stats["safe"]
+
+
+def test_resolve_auto_picks_exact_on_uniform_corpus():
+    from posendf_tpu.data.prepare import resolve_knn_precision
+
+    rng = np.random.default_rng(6)
+    q = rng.normal(size=(1024, 21, 4)).astype(np.float32)
+    corpus = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+    prec, stats = resolve_knn_precision(
+        "auto", corpus, k=5, rng=np.random.default_rng(7),
+        backend="tpu", verbose=False)
+    assert prec == "highest"
+    assert stats is not None and not stats["safe"]
+
+
+def test_resolve_auto_ineligible_searches_fall_back_exact():
+    """When the fast engine cannot apply (non-TPU backend, two-stage
+    search, big k, joint-space embedding), auto must resolve to the exact
+    default WITHOUT probing."""
+    from posendf_tpu.data.prepare import resolve_knn_precision
+
+    corpus = synthetic_manifold_poses(np.random.default_rng(8), 256)
+    for kwargs in ({"backend": "cpu"}, {"backend": "tpu", "k_candidates": 50},
+                   {"backend": "tpu", "k": 9},
+                   {"backend": "tpu", "space": "joints"},
+                   {"backend": "tpu", "fused": False}):
+        prec, stats = resolve_knn_precision("auto", corpus, verbose=False,
+                                            **{"k": 5, **kwargs})
+        assert prec == "highest", kwargs
+        assert stats is None
+    # concrete values pass through untouched, no probe
+    for p in ("highest", "high", "default", "fast"):
+        assert resolve_knn_precision(p, corpus, k=5) == (p, None)
+
+
+def test_label_sequence_auto_resolves_on_cpu(rng_corpus=None):
+    """precision='auto' through label_sequence on the CPU backend must
+    behave exactly like the exact default (resolution -> 'highest')."""
+    rng = np.random.default_rng(9)
+    corpus = synthetic_manifold_poses(rng, 256)
+    clean = synthetic_manifold_poses(rng, 32)
+    ref = label_sequence(clean, corpus, num_queries=20, k=3,
+                         rng=np.random.default_rng(1), precision="highest")
+    out = label_sequence(clean, corpus, num_queries=20, k=3,
+                         rng=np.random.default_rng(1), precision="auto")
+    np.testing.assert_array_equal(out["dist"], ref["dist"])
+    np.testing.assert_array_equal(out["pose"], ref["pose"])
