@@ -157,3 +157,131 @@ def test_vertex_landmarks_appended_for_real_meshes(big_model):
     assert with_landmarks(v, j).shape == (2, 45, 3)
     small_v = jnp.zeros((2, 96, 3))
     assert with_landmarks(small_v, j).shape == (2, 24, 3)
+
+
+# --------------------------------------------------------------------------
+# Equation-level independent oracle (VERDICT r4 Missing #2 / Next #6)
+#
+# The invariant tests above cannot catch a SELF-CONSISTENT convention
+# mismatch (e.g. a uniformly transposed rotation convention satisfies every
+# invariant). This oracle is a deliberately naive NumPy LBS written straight
+# from the SMPL paper's equations (Loper et al. 2015, eqs. 2-7): per-sample
+# Python loops, scratch Rodrigues, per-joint 4x4 homogeneous chains
+# G_k = G_parent(k) @ [[R_k, j_k - j_parent(k)], [0, 1]], rest-pose removal
+# G'_k = G_k @ [[I, -j_k],[0,1]], blended vertex transforms
+# T_v = sum_k w_vk G'_k — zero shared code with posendf_tpu/smpl/lbs.py
+# (which is level-batched einsums with no 4x4s anywhere). Checked on the
+# synthetic skeleton AND a random full-rank model (dense random regressor/
+# blendshapes/weights, randomized tree) where any convention error shows.
+# Parity target: smplx.SMPL forward (reference experiments/body_model.py:27),
+# which implements these same equations; smplx itself is not installable
+# in this environment.
+# --------------------------------------------------------------------------
+
+def _naive_rodrigues(aa):
+    """(3,) axis-angle -> (3,3) rotation, textbook Rodrigues."""
+    theta = float(np.linalg.norm(aa))
+    if theta < 1e-12:
+        return np.eye(3)
+    k = np.asarray(aa, np.float64) / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1.0 - np.cos(theta)) * (K @ K)
+
+
+def _naive_smpl_forward(v_template, shapedirs, posedirs_v3p, j_regressor,
+                        weights, parents, betas, full_pose_aa):
+    """SMPL paper equations, one sample, float64 numpy.
+
+    posedirs_v3p: (V, 3, 207) — the PAPER's layout (the production model
+    packs it (207, V*3); the packing is part of what this oracle checks).
+    """
+    V = v_template.shape[0]
+    J = len(parents)
+    # eq. 8: shaped template; eq. 10: rest joints
+    v_shaped = v_template + shapedirs @ betas
+    j_rest = j_regressor @ v_shaped
+    # eq. 9: pose blendshapes from (R_k - I), k >= 1
+    R = np.stack([_naive_rodrigues(full_pose_aa[k]) for k in range(J)])
+    pose_feat = np.concatenate([(R[k] - np.eye(3)).ravel()
+                                for k in range(1, J)])          # (207,)
+    v_posed = v_shaped + posedirs_v3p @ pose_feat               # (V, 3)
+    # eqs. 3-4: FK with homogeneous 4x4 chains
+    G = np.zeros((J, 4, 4))
+    G[0] = np.eye(4)
+    G[0][:3, :3] = R[0]
+    G[0][:3, 3] = j_rest[0]
+    for k in range(1, J):
+        local = np.eye(4)
+        local[:3, :3] = R[k]
+        local[:3, 3] = j_rest[k] - j_rest[parents[k]]
+        G[k] = G[parents[k]] @ local
+    joints_posed = G[:, :3, 3].copy()
+    # remove the rest-pose transform: G'_k = G_k @ [[I, -j_k],[0,1]]
+    Gp = np.zeros_like(G)
+    for k in range(J):
+        undo = np.eye(4)
+        undo[:3, 3] = -j_rest[k]
+        Gp[k] = G[k] @ undo
+    # eqs. 6-7: blended per-vertex transforms
+    verts = np.zeros((V, 3))
+    for v in range(V):
+        T = np.zeros((4, 4))
+        for k in range(J):
+            T += weights[v, k] * Gp[k]
+        verts[v] = (T @ np.append(v_posed[v], 1.0))[:3]
+    return verts, joints_posed
+
+
+def _oracle_vs_impl(model, rng, n_betas, atol):
+    B = 2
+    betas = rng.normal(scale=0.5, size=(B, n_betas)).astype(np.float32)
+    orient = rng.normal(scale=0.6, size=(B, 3)).astype(np.float32)
+    pose = rng.normal(scale=0.4, size=(B, 69)).astype(np.float32)
+    verts, joints = lbs_forward(model, jnp.asarray(betas),
+                                jnp.asarray(orient), jnp.asarray(pose))
+    v_t = np.asarray(model.v_template, np.float64)
+    sh = np.asarray(model.shapedirs, np.float64)
+    # unpack the production (207, V*3) posedirs back to the paper's (V,3,207)
+    pd = np.asarray(model.posedirs, np.float64).T.reshape(len(v_t), 3, 207)
+    jr = np.asarray(model.j_regressor, np.float64)
+    w = np.asarray(model.lbs_weights, np.float64)
+    for b in range(B):
+        full = np.concatenate([orient[b].reshape(1, 3),
+                               pose[b].reshape(23, 3)]).astype(np.float64)
+        v_ref, j_ref = _naive_smpl_forward(
+            v_t, sh, pd, jr, w, model.parents, betas[b].astype(np.float64),
+            full)
+        np.testing.assert_allclose(np.asarray(verts[b]), v_ref, atol=atol)
+        np.testing.assert_allclose(np.asarray(joints[b]), j_ref, atol=atol)
+
+
+def test_naive_equation_oracle_synthetic_model(model):
+    _oracle_vs_impl(model, np.random.default_rng(42), 10, atol=1e-5)
+
+
+def test_naive_equation_oracle_random_full_rank_model():
+    """Dense random model on a RANDOMIZED tree: every tensor full-rank, so
+    a transposed rotation, swapped parent/child, wrong blend order, or a
+    mispacked posedirs layout cannot cancel. 24 joints (207 pose features)
+    to keep the production input contract."""
+    from posendf_tpu.smpl.lbs import NUM_JOINTS, SMPLModel
+
+    rng = np.random.default_rng(7)
+    V = 40
+    parents = tuple([-1] + [int(rng.integers(0, j)) for j in range(1, NUM_JOINTS)])
+    v_template = rng.normal(scale=0.5, size=(V, 3))
+    shapedirs = rng.normal(scale=0.05, size=(V, 3, 6))
+    posedirs_paper = rng.normal(scale=0.01, size=(V, 3, 207))
+    j_regressor = rng.normal(size=(NUM_JOINTS, V)) / V
+    w = np.abs(rng.normal(size=(V, NUM_JOINTS))) + 1e-3
+    w /= w.sum(axis=1, keepdims=True)
+    model = SMPLModel(
+        v_template=jnp.asarray(v_template, jnp.float32),
+        shapedirs=jnp.asarray(shapedirs, jnp.float32),
+        posedirs=jnp.asarray(posedirs_paper.reshape(V * 3, 207).T, jnp.float32),
+        j_regressor=jnp.asarray(j_regressor, jnp.float32),
+        lbs_weights=jnp.asarray(w, jnp.float32),
+        faces=np.zeros((1, 3), np.int32),
+        parents=parents,
+    )
+    _oracle_vs_impl(model, np.random.default_rng(8), 6, atol=2e-5)
