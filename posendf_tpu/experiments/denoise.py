@@ -22,6 +22,7 @@ equivalence test).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -108,6 +109,29 @@ def adaptive_runtime(s: float, prior_gain: float = 1.0) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=8)
+def _noise_stat_fn(module, sigma_ref: float, floor_steps: int):
+    """Cached jitted (d_input, d_floor, d_probe) stats for
+    ``estimate_clip_noise``. Module-level cache keyed on the hashable
+    linen module: a per-call ``@jax.jit`` closure would retrace (and over
+    the remote-compile relay, RECOMPILE — ~minutes for the projection
+    scan) on every clip of a benchmark sweep."""
+    from posendf_tpu.projection import project
+
+    @jax.jit
+    def stats(params, quats, key):
+        d_input = jnp.mean(module.apply({"params": params}, quats))
+        proj, _ = project(module, params, quats, steps=floor_steps)
+        d_floor = jnp.mean(module.apply({"params": params}, proj))
+        noise = sigma_ref * jax.random.uniform(key, quats.shape)
+        probe = quats + noise
+        probe = probe / jnp.linalg.norm(probe, axis=-1, keepdims=True)
+        d_probe = jnp.mean(module.apply({"params": params}, probe))
+        return d_input, d_floor, d_probe
+
+    return stats
+
+
 def estimate_clip_noise(module, params, quats: jax.Array,
                         key: "jax.Array" = None, *,
                         sigma_ref: float = 0.1,
@@ -134,23 +158,10 @@ def estimate_clip_noise(module, params, quats: jax.Array,
     A degenerate field (zero span) yields s = 0 — the input-anchored
     endpoint, the safe schedule when the field carries no information.
     """
-    from posendf_tpu.projection import project
-
     if key is None:
         key = jax.random.key(0)
     quats = quats.reshape(-1, quats.shape[-2], 4)
-
-    @jax.jit
-    def stats(params, quats, key):
-        d_input = jnp.mean(module.apply({"params": params}, quats))
-        proj, _ = project(module, params, quats, steps=floor_steps)
-        d_floor = jnp.mean(module.apply({"params": params}, proj))
-        noise = sigma_ref * jax.random.uniform(key, quats.shape)
-        probe = quats + noise
-        probe = probe / jnp.linalg.norm(probe, axis=-1, keepdims=True)
-        d_probe = jnp.mean(module.apply({"params": params}, probe))
-        return d_input, d_floor, d_probe
-
+    stats = _noise_stat_fn(module, float(sigma_ref), int(floor_steps))
     d_input, d_floor, d_probe = (float(x) for x in stats(params, quats, key))
     span = d_probe - d_floor
     s = (d_input - d_floor) / span if span > 1e-12 else 0.0
