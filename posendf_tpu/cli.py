@@ -439,6 +439,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image-folder", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None)
+    p.add_argument("--prior-form", choices=("reference", "self"),
+                   default="reference",
+                   help="stage 2-3 prior weighting: 'reference' = linear "
+                        "1e2*L/(1+it) (image_fitting.py:40); 'self' = the "
+                        "denoise schedule's self-weighted 1e7*L^2/(1+it), "
+                        "which escapes the measured zero-region pinning of "
+                        "the linear form on trained relu-head fields "
+                        "(docs/quality/fit_image_closed_loop.json)")
     _add_mesh_out(p, "the image folder")
     p.set_defaults(fn=cmd_fit_image)
 

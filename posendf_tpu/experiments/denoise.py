@@ -94,8 +94,10 @@ def adaptive_runtime(s: float, prior_gain: float = 1.0) -> dict:
     The weight map alone cannot bound a near-clean clip's drift: Adam is
     invariant to global loss scale, so its late-step oscillation floor is
     set by the LEARNING RATE, not the weights — the companion
-    ``aux['lr_runtime'] = 10^(s-1)`` (0.1x .. 1x, set by MotionDenoiser)
-    shrinks the step size in lockstep with the estimated noise.
+    ``aux['lr_runtime'] = 10^(2(s-1))`` (0.01x .. 1x, set by
+    MotionDenoiser) shrinks the step size in lockstep with the estimated
+    noise (measured: at the 10^(s-1) half-slope a sigma-0.01 clip still
+    drifted 1.1 cm off its 0.7 cm input).
 
     Values are returned as jnp scalars so they are traced ARGUMENTS of the
     jitted solve — one compile serves every clip's schedule.
@@ -136,10 +138,12 @@ def estimate_clip_noise(module, params, quats: jax.Array,
                         key: "jax.Array" = None, *,
                         sigma_ref: float = 0.1,
                         floor_steps: int = 10) -> dict:
-    """Estimate a clip's noise level with the field itself (no ground truth).
+    """Estimate a clip's noise level (no ground truth): two independent
+    sensors, combined as ``s = max(s_field, s_temporal)``.
 
-    Three cheap field statistics (two forwards + a ``floor_steps``-step
-    projection of the clip — microseconds next to the 500-step solve):
+    **Field sensor** — three cheap field statistics (two forwards + a
+    ``floor_steps``-step projection, microseconds next to the 500-step
+    solve):
 
       d_input = mean field distance of the input poses;
       d_floor = mean distance after projecting the clip onto the manifold
@@ -147,25 +151,49 @@ def estimate_clip_noise(module, params, quats: jax.Array,
                 any constant bias of the learned field);
       d_probe = mean distance of the input re-noised at a reference level
                 (``sigma_ref`` uniform quaternion noise, the training
-                sampler's family, ``create_data.py:88``) — the field's
-                measured response to KNOWN extra noise, which calibrates
-                the scale without any dataset statistics.
+                sampler's family, ``create_data.py:88``);
 
-    Returns ``{"s", "d_input", "d_floor", "d_probe"}`` with
-    ``s = clip((d_input - d_floor) / (d_probe - d_floor), 0, 1)``:
-    ~0 for clips the field reads as on-manifold, ~1 once the input is at
-    least ``sigma_ref``-noisy (d_probe saturates toward d_input there).
-    A degenerate field (zero span) yields s = 0 — the input-anchored
-    endpoint, the safe schedule when the field carries no information.
+    ``s_field = clip((d_input - d_floor) / (d_probe - d_floor), 0, 1)``.
+    Catches smooth-but-off-manifold drift, but COMPRESSES above the
+    field's resolution (measured on the trained L=8 field: d rises only
+    0.0064 -> 0.0125 from clean to sigma 0.5, so s_field reads 0.06-0.09
+    at every benchmark sigma). A degenerate field (zero span) yields 0.
+
+    **Temporal sensor** — mocap noise is white per frame while motion is
+    smooth, so the classical two-lag estimator separates them with no
+    model at all: for per-dof axis-angle differences
+    ``d1 = E[(x[t+1]-x[t])^2]`` and ``d2 = E[(x[t+2]-x[t])^2]``, locally
+    linear motion gives ``d1 = v^2 + 2n^2`` and ``d2 = 4v^2 + 2n^2``, so
+    ``n^2 = (4*d1 - d2)/6`` — exact for any motion speed.
+    ``s_temporal = n / sigma_ref``, clipped. Needs >= 3 frames (falls
+    back to the field sensor alone otherwise); frames must be in order
+    (the clip contract).
+
+    Returns ``{"s", "s_field", "s_temporal", "d_input", "d_floor",
+    "d_probe"}``.
     """
+    from posendf_tpu.quat import quaternion_to_axis_angle
+
     if key is None:
         key = jax.random.key(0)
     quats = quats.reshape(-1, quats.shape[-2], 4)
     stats = _noise_stat_fn(module, float(sigma_ref), int(floor_steps))
     d_input, d_floor, d_probe = (float(x) for x in stats(params, quats, key))
     span = d_probe - d_floor
-    s = (d_input - d_floor) / span if span > 1e-12 else 0.0
-    return {"s": float(np.clip(s, 0.0, 1.0)), "d_input": d_input,
+    s_field = (d_input - d_floor) / span if span > 1e-12 else 0.0
+    s_field = float(np.clip(s_field, 0.0, 1.0))
+
+    s_temporal = 0.0
+    if quats.shape[0] >= 3:
+        aa = np.asarray(quaternion_to_axis_angle(quats)).reshape(
+            quats.shape[0], -1)
+        d1 = float(np.mean((aa[1:] - aa[:-1]) ** 2))
+        d2 = float(np.mean((aa[2:] - aa[:-2]) ** 2))
+        n2 = max((4.0 * d1 - d2) / 6.0, 0.0)
+        s_temporal = float(np.clip(np.sqrt(n2) / sigma_ref, 0.0, 1.0))
+
+    return {"s": max(s_field, s_temporal), "s_field": s_field,
+            "s_temporal": s_temporal, "d_input": d_input,
             "d_floor": d_floor, "d_probe": d_probe}
 
 
@@ -285,9 +313,10 @@ class MotionDenoiser:
             noise_est = estimate_clip_noise(self.module, self.params, in_quats)
             aux["anneal_runtime"] = adaptive_runtime(noise_est["s"],
                                                      self.prior_gain)
-            # step-size scale 10^(s-1): see adaptive_runtime's docstring
+            # step-size scale 10^(2(s-1)): see adaptive_runtime's docstring
             aux["lr_runtime"] = jnp.float32(
-                10.0 ** (float(np.clip(noise_est["s"], 0.0, 1.0)) - 1.0))
+                10.0 ** (2.0 * (float(np.clip(noise_est["s"], 0.0, 1.0))
+                                - 1.0)))
         solve = self._solver(iterations, steps_per_iter)
         final_pose, history = solve(pose0, aux)
 

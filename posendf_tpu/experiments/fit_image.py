@@ -96,17 +96,44 @@ STAGE3_SPECS = {
     "data": AnnealSpec(scale=10.0, power=1, anneal=-1.0, active_after=0),
 }
 
+# The reference weights the fit prior LINEARLY (1e2 * L / (1+it),
+# image_fitting.py:40) — measured failure mode on a trained lrelu field:
+# a ReLU-clamped distance head's d=0 set is a REGION (not a surface), and
+# from the zero-pose init (inside it) the linear boundary penalty
+# 100*grad(d) pins the solve there, overriding the keypoints entirely
+# (stage-2 residual stalls ~8000 px^2 vs ~80 prior-off; the final pose is
+# IDENTICAL whatever the observations). The denoise schedule never hits
+# this because ITS prior is self-weighted (1e7 * L^2, motion_denoise.py:33)
+# — the weight vanishes with the loss, so small excursions off the zero
+# set are nearly free. ``prior_form='self'`` applies that same
+# self-weighted form to fit stages 2-3 (scripts/fit_image_quality.py
+# measures the ablation with it); the default stays reference-exact.
+SELF_WEIGHTED_PRIOR = AnnealSpec(scale=1e7, power=2, anneal=-1.0)
+
 
 class ImageFitter:
     def __init__(self, module, params, body_model: BodyModel,
                  trans_estimation: float = 10.0, focal_length: float = 5000.0,
-                 optimize_camera_rotation: bool = True):
+                 optimize_camera_rotation: bool = True,
+                 prior_scale: float = 1.0, prior_form: str = "reference"):
+        """``prior_scale`` multiplies the pose-prior weight of stages 2-3
+        (0.0 = the prior-off ablation with an otherwise identical solve —
+        scripts/fit_image_quality.py measures what the prior buys).
+        ``prior_form``: 'reference' = the linear 1e2*L/(1+it) weighting
+        (image_fitting.py:40); 'self' = the denoise schedule's
+        self-weighted 1e7*L^2/(1+it) (see SELF_WEIGHTED_PRIOR — escapes
+        the zero-region pinning the linear form measurably suffers)."""
+        if prior_form not in ("reference", "self"):
+            raise ValueError(f"prior_form must be 'reference' or 'self', "
+                             f"got {prior_form!r}")
         self.module = module
         self.params = params
         self.body_model = body_model
         self.trans_estimation = trans_estimation
         self.focal_length = focal_length
         self.optimize_camera_rotation = optimize_camera_rotation
+        self.prior_scale = prior_scale
+        self.prior_form = prior_form
         # stage solvers cached by (batch, iterations, steps_per_iter): all
         # per-image data flows through the solver's aux pytree, so fitting a
         # folder of same-shaped keypoint files compiles each stage ONCE (the
@@ -177,10 +204,17 @@ class ImageFitter:
             return {"pose_pr": prior, "data": data}
 
         kw = dict(iterations=iterations, steps_per_iter=steps_per_iter, lr=0.02)
+        g = self.prior_scale
+        base_pr = (SELF_WEIGHTED_PRIOR if self.prior_form == "self"
+                   else STAGE2_SPECS["pose_pr"])
+        specs2 = dict(STAGE2_SPECS,
+                      pose_pr=base_pr._replace(scale=base_pr.scale * g))
+        specs3 = dict(STAGE3_SPECS,
+                      pose_pr=base_pr._replace(scale=base_pr.scale * g))
         solvers = (
             make_annealed_solver(stage1_terms, STAGE1_SPECS, **kw),
-            make_annealed_solver(stage2_terms, STAGE2_SPECS, **kw),
-            make_annealed_solver(stage3_terms, STAGE3_SPECS, **kw),
+            make_annealed_solver(stage2_terms, specs2, **kw),
+            make_annealed_solver(stage3_terms, specs3, **kw),
         )
         self._solvers[key] = solvers
         return solvers
@@ -235,8 +269,18 @@ class ImageFitter:
 
         # ---- stage 2: full body (pose, orient, betas) vs all keypoints + prior
         translation = jax.lax.stop_gradient(p1["translation"])
+        # NOT exact zeros: the reference model's joint-axis normalize
+        # (x,y,z)/||xyz|| is directionally singular at zero rotations —
+        # measured on the trained L=8 field, d jumps 0.008 -> 0.104 within
+        # 1e-3 of the zero pose and the prior gradient there is ~2e10,
+        # which poisons Adam's second moment for the whole solve (the
+        # fit then ignores the keypoints entirely). The reference never
+        # starts at exact zeros (it inits from loaded data,
+        # image_fitting.py:239); a tiny fixed symmetry-breaking draw is
+        # the equivalent safeguard here.
+        pose0 = 1e-2 * jax.random.normal(jax.random.key(0), (B, 69))
         stage2_init = {
-            "pose_body": jnp.zeros((B, 69)),
+            "pose_body": pose0,
             "global_orient": jax.lax.stop_gradient(p1["global_orient"]),
             "betas": jnp.zeros((B, n_betas)),
         }
@@ -337,7 +381,8 @@ def run_cli(args) -> None:
         except Exception:
             center = None
 
-    fitter = ImageFitter(module, params, bm)
+    fitter = ImageFitter(module, params, bm,
+                         prior_form=getattr(args, "prior_form", "reference"))
     result, metrics = fitter.optimize(keypoints, center=center)
     for k, v in metrics.items():
         print(f"{k}: {v:0.8f}")

@@ -145,6 +145,27 @@ def test_adaptive_denoiser_mechanism(field, body):
         assert np.isfinite(metrics[k]), (k, metrics)
 
 
+def test_image_fit_tracks_observations_with_prior_on(field, body):
+    """Regression guard for the zero-pose singularity: the model's
+    joint-axis normalize is directionally singular at exact-zero rotations
+    (prior gradient ~2e10 there on trained fields), and a stage-2 init AT
+    that point poisoned Adam's second moment so badly the fit returned the
+    SAME pose whatever the keypoints. With the symmetry-breaking init,
+    different observations must give different fits."""
+    module, params = field
+    rng = np.random.default_rng(11)
+    fitter = ImageFitter(module, params, body, prior_form="self")
+    kp_a = np.ones((1, 25, 3), np.float32)
+    kp_a[..., :2] = 200.0 * rng.standard_normal((1, 25, 2))
+    kp_b = np.ones((1, 25, 3), np.float32)
+    kp_b[..., :2] = 200.0 * rng.standard_normal((1, 25, 2))
+    res_a, _ = fitter.optimize(kp_a, iterations=2, steps_per_iter=10)
+    res_b, _ = fitter.optimize(kp_b, iterations=2, steps_per_iter=10)
+    pa, pb = np.asarray(res_a["pose_body"]), np.asarray(res_b["pose_body"])
+    assert np.all(np.isfinite(pa)) and np.all(np.isfinite(pb))
+    assert not np.allclose(pa, pb, atol=1e-3), "fit ignores observations"
+
+
 def test_motion_denoise_runs_and_improves_prior(field, body):
     module, params = field
     rng = np.random.default_rng(0)
