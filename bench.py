@@ -760,6 +760,13 @@ def main():
                 round(knn_fast_qps, 1) if knn_fast_qps else None,
             "knn_sharded_qps":
                 round(knn_sharded_qps, 1) if knn_sharded_qps else None,
+            # travels with the artifact (the docs explain it, but the JSON
+            # is read without them): the sharded number sits BELOW the
+            # single-chip fused kernel on this harness because per-batch
+            # host I/O rides the ~8-10 MB/s relay; the compiled per-chip
+            # program is 1/N FLOPs with zero collectives (ARCHITECTURE §3)
+            "knn_sharded_qps_note": "relay-I/O-bound on this harness; "
+                "not a kernel regression" if knn_sharded_qps else None,
             "knn_fused_1m_corpus_qps":
                 round(knn_1m_qps, 1) if knn_1m_qps else None,
             "knn_exact_1m_corpus_qps":
@@ -770,6 +777,12 @@ def main():
                 round(train_e2e_pps, 1) if train_e2e_pps else None,
             "train_e2e_host_assembly_poses_per_sec":
                 round(train_e2e_host_pps, 1) if train_e2e_host_pps else None,
+            # host-assembly rate scales ~linearly with cores (the native
+            # gather parallel_fors over rows); record the cores the number
+            # was measured WITH — r04 recorded 7.79M against docs written
+            # for a 1-vCPU host (3.1-3.3M measured there) and nothing in
+            # the artifact explained the gap
+            "host_vcpus": os.cpu_count(),
             "denoise_500step_60frame_s":
                 round(denoise_s, 4) if denoise_s else None,
             # hardware-ceiling view (v5e: 197 TFLOP/s, 819 GB/s)

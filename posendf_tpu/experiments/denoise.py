@@ -137,6 +137,7 @@ def _noise_stat_fn(module, sigma_ref: float, floor_steps: int):
 def estimate_clip_noise(module, params, quats: jax.Array,
                         key: "jax.Array" = None, *,
                         sigma_ref: float = 0.1,
+                        sigma_ref_temporal: float = 0.2,
                         floor_steps: int = 10) -> dict:
     """Estimate a clip's noise level (no ground truth): two independent
     sensors, combined as ``s = max(s_field, s_temporal)``.
@@ -165,9 +166,14 @@ def estimate_clip_noise(module, params, quats: jax.Array,
     ``d1 = E[(x[t+1]-x[t])^2]`` and ``d2 = E[(x[t+2]-x[t])^2]``, locally
     linear motion gives ``d1 = v^2 + 2n^2`` and ``d2 = 4v^2 + 2n^2``, so
     ``n^2 = (4*d1 - d2)/6`` — exact for any motion speed.
-    ``s_temporal = n / sigma_ref``, clipped. Needs >= 3 frames (falls
-    back to the field sensor alone otherwise); frames must be in order
-    (the clip contract).
+    ``s_temporal = n / sigma_ref_temporal``, clipped. The 0.2 scale is
+    measured, not guessed: on the trained L=8 grid a sigma-0.1 clip maps
+    to s=0.5 — the middle of the balanced<->reference interpolation,
+    where the solve measures best (reference-strength weights there cost
+    +1.5 cm) — while sigma-0.5 still saturates to s=1 (the reference
+    schedule's win regime). Needs >= 3 frames (falls back to the field
+    sensor alone otherwise); frames must be in order (the clip
+    contract).
 
     Returns ``{"s", "s_field", "s_temporal", "d_input", "d_floor",
     "d_probe"}``.
@@ -190,7 +196,8 @@ def estimate_clip_noise(module, params, quats: jax.Array,
         d1 = float(np.mean((aa[1:] - aa[:-1]) ** 2))
         d2 = float(np.mean((aa[2:] - aa[:-2]) ** 2))
         n2 = max((4.0 * d1 - d2) / 6.0, 0.0)
-        s_temporal = float(np.clip(np.sqrt(n2) / sigma_ref, 0.0, 1.0))
+        s_temporal = float(np.clip(np.sqrt(n2) / sigma_ref_temporal,
+                                   0.0, 1.0))
 
     return {"s": max(s_field, s_temporal), "s_field": s_field,
             "s_temporal": s_temporal, "d_input": d_input,
