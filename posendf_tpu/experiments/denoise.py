@@ -321,6 +321,9 @@ class MotionDenoiser:
             aux["anneal_runtime"] = adaptive_runtime(noise_est["s"],
                                                      self.prior_gain)
             # step-size scale 10^(2(s-1)): see adaptive_runtime's docstring
+            # (a quadratic exponent 10^(-2(1-s)^2) was probed and REJECTED:
+            # the extra mid-range movement it allows over-smooths rather
+            # than denoises — same-clips v2v worse at every sigma)
             aux["lr_runtime"] = jnp.float32(
                 10.0 ** (2.0 * (float(np.clip(noise_est["s"], 0.0, 1.0))
                                 - 1.0)))
