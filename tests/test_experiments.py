@@ -324,6 +324,28 @@ def test_mesh_export_and_render(tmp_path, body):
     assert len(imgs) == 1 and os.path.exists(imgs[0])
 
 
+def test_phong_render_is_lit_rgb(body):
+    """The default shading is the reference's Phong setup
+    (exp_utils.py:43,51-55 — point light, white material): RGB output,
+    smoothly varying intensity (interpolated vertex normals), and a flat
+    grayscale mode kept for diagnostics."""
+    from posendf_tpu.experiments.render import render_mesh
+
+    out = body(pose_body=jnp.zeros((1, 69)))
+    v = np.asarray(out.vertices[0])
+    rgb = render_mesh(v, out.faces, image_size=64)
+    assert rgb.shape == (64, 64, 3)
+    lit = rgb[rgb.sum(-1) > 0]
+    assert len(lit) > 20  # the mesh covers some pixels
+    # ambient floor 0.5, diffuse+specular on top -> values span a range
+    assert float(lit.min()) >= 0.45 and float(lit.max()) <= 1.0
+    assert float(lit.std()) > 0.01, "no shading variation"
+    gray = render_mesh(v, out.faces, image_size=64, shading="flat")
+    assert gray.shape == (64, 64)
+    with pytest.raises(ValueError, match="shading"):
+        render_mesh(v, out.faces, shading="wireframe")
+
+
 def test_motion_denoise_single_frame_is_finite(field, body):
     """One-frame input has no temporal stencil; the empty-mean NaN must not
     poison the solve."""
