@@ -713,6 +713,26 @@ def main():
         _section_failed('denoise')
         denoise_s = None
 
+    # same solve through `--specs adaptive` (per-clip noise estimate +
+    # runtime-interpolated schedule, r5): the delta vs denoise_s is the
+    # sensor's full cost (2 field forwards + a 10-step projection + the
+    # temporal estimator + the runtime-scalar aux)
+    denoise_adaptive_s = None
+    try:
+        den_ad = MotionDenoiser(module, params, BodyModel(), specs="adaptive")
+        out_pose, _ = den_ad.optimize(noisy, iterations=10, steps_per_iter=50)
+        jax.block_until_ready(out_pose)  # compile
+
+        def den_ad_run():
+            out_pose, _ = den_ad.optimize(noisy, iterations=10,
+                                          steps_per_iter=50)
+            return jnp.sum(out_pose)
+
+        denoise_adaptive_s = timed(den_ad_run)
+    except Exception:
+        _section_failed('denoise_adaptive')
+        denoise_adaptive_s = None
+
     target = 1_000_000.0
     print(json.dumps({
         "metric": "ndf_fwd_evals_per_sec_per_chip",
@@ -785,6 +805,8 @@ def main():
             "host_vcpus": os.cpu_count(),
             "denoise_500step_60frame_s":
                 round(denoise_s, 4) if denoise_s else None,
+            "denoise_adaptive_500step_60frame_s":
+                round(denoise_adaptive_s, 4) if denoise_adaptive_s else None,
             # hardware-ceiling view (v5e: 197 TFLOP/s, 819 GB/s)
             "mfu_pct": round(mfu_pct, 1),
             "hbm_util_pct": round(hbm_util_pct, 2),
