@@ -115,29 +115,50 @@ def main():
         win = tuple(qf.qparams["window"])
         print(f"int8 window: layers {win[0]}..{win[1] - 1} quantized")
 
+        import functools
+
         @jax.jit
         def f32_val(p):
-            d = field.distance_fused(p) if fused else field.distance(p)
-            return d, jnp.sum(d)
+            return field.distance_fused(p) if fused else field.distance(p)
 
         @jax.jit
         def int8_val(p):
-            d = qf.distance(p) if fused else qf.distance_xla(p)
-            return d, jnp.sum(d)
+            return qf.distance(p) if fused else qf.distance_xla(p)
 
-        d_f32, s = f32_val(poses); float(s)        # compile + sync
-        d_int8, s = int8_val(poses); float(s)
-        t0 = time.perf_counter()
-        _, s = f32_val(poses); float(s)
-        t_f32 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _, s = int8_val(poses); float(s)
-        t_int8 = time.perf_counter() - t0
+        # throughput: iterations INSIDE one jitted fori_loop, timed as a
+        # two-point iteration diff so the dispatch round-trip cancels — a
+        # single 131k forward is ~2 ms of device compute, far below the
+        # ~30 ms relay RTT and its jitter (same pattern as bench.py; the
+        # acc*0 feedback keeps the loop body from being hoisted)
+        def loop(val_fn):
+            @functools.partial(jax.jit, static_argnames=("iters",))
+            def run(p, iters):
+                def body(i, acc):
+                    return acc + jnp.sum(val_fn(p + acc * 0))
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+            return run
+
+        def rate(val_fn, lo=10, hi=40):
+            run = loop(val_fn)
+            float(run(poses, lo)), float(run(poses, hi))   # compile both
+            t = {}
+            for n in (lo, hi):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(run(poses, n))      # scalar readback = hard sync
+                    best = min(best, time.perf_counter() - t0)
+                t[n] = best
+            return args.batch * (hi - lo) / (t[hi] - t[lo])
+
+        r_f32, r_int8 = rate(f32_val), rate(int8_val)
+        d_f32, d_int8 = f32_val(poses), int8_val(poses)
         err = jnp.abs(d_int8 - d_f32)
         std = float(jnp.std(d_f32)) or 1.0
-        print(f"value path: f32 {args.batch / t_f32 / 1e6:.1f}M evals/s, "
-              f"int8 {args.batch / t_int8 / 1e6:.1f}M evals/s "
-              f"({t_f32 / t_int8:.2f}x)")
+        print(f"value path: f32 {r_f32 / 1e6:.1f}M evals/s, "
+              f"int8 {r_int8 / 1e6:.1f}M evals/s ({r_int8 / r_f32:.2f}x)")
         print(f"int8 agreement: MAE {float(jnp.mean(err)):.2e} "
               f"({100 * float(jnp.mean(err)) / std:.2f}% of f32 std), "
               f"max {float(jnp.max(err)):.2e}")

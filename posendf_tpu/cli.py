@@ -249,16 +249,36 @@ def _load_quantized(args):
     field = make_field(module, params)
     if args.calib:
         with np.load(args.calib) as z:
-            key = next(k for k in ("pose", "pose_body", "quats")
-                       if k in z)
+            key = next((k for k in ("pose", "pose_body", "quats", "poses")
+                        if k in z), None)
+            if key is None:
+                raise SystemExit(
+                    f"--calib {args.calib}: no recognized pose key; "
+                    f"found {sorted(z.files)}, expected one of "
+                    "pose/pose_body/quats/poses")
             calib = np.asarray(z[key], np.float32)
-        if calib.ndim == 2 and calib.shape[1] in (63, 69):
+        if calib.ndim == 2 and calib.shape[1] in (63, 69, 72, 156):
             from posendf_tpu.quat import axis_angle_to_quaternion
             import jax.numpy as jnp
 
+            # 72/156: SMPL/SMPL-X full pose incl. root — body joints start
+            # at index 3 (reference slices 3:72, data/sample_poses.py:48-56)
+            start = 3 if calib.shape[1] in (72, 156) else 0
             calib = np.asarray(axis_angle_to_quaternion(
-                jnp.asarray(calib[:, :63]).reshape(len(calib), 21, 3)))
-        calib = calib.reshape(-1, module.num_joints, 4)
+                jnp.asarray(calib[:, start:start + 63]).reshape(
+                    len(calib), 21, 3)))
+        elif calib.ndim == 2 and calib.shape[1] != module.num_joints * 4:
+            raise SystemExit(
+                f"--calib {args.calib}: key {key!r} has width "
+                f"{calib.shape[1]}; expected axis-angle 63/69/72/156 or "
+                f"quaternion {module.num_joints * 4}")
+        try:
+            calib = calib.reshape(-1, module.num_joints, 4)
+        except ValueError:
+            raise SystemExit(
+                f"--calib {args.calib}: key {key!r} shape "
+                f"{calib.shape} does not reshape to "
+                f"(-1, {module.num_joints}, 4) quaternions") from None
     else:
         from posendf_tpu.projection import random_poses
 

@@ -331,6 +331,7 @@ def resolve_knn_precision(
     k_candidates: int = 0,
     space: str = "quat",
     fused=None,
+    mesh=None,
     rng: Optional[np.random.Generator] = None,
     backend: Optional[str] = None,
     verbose: bool = True,
@@ -340,10 +341,12 @@ def resolve_knn_precision(
 
     'auto' picks **fast** (prescreen + exact rerank, ~2.4-3.4x the exact
     kernel) when the fast engine applies to this search (single-stage
-    geodesic, k <= 8, TPU backend, fused not disabled) AND
-    :func:`probe_fast_safety` passes on this corpus; **highest** (exact)
-    otherwise. The measured statistic is logged either way and returned.
-    ``backend`` overrides backend detection (tests).
+    geodesic, k <= 8, TPU backend, fused not disabled, and — when a mesh
+    is given — fused=True, since the sharded DEFAULT engine is the XLA
+    scan, which has no prescreen analog) AND :func:`probe_fast_safety`
+    passes on this corpus; **highest** (exact) otherwise. The measured
+    statistic is logged either way and returned. ``backend`` overrides
+    backend detection (tests).
     """
     if precision != "auto":
         return precision, None
@@ -352,13 +355,14 @@ def resolve_knn_precision(
     if backend is None:
         backend = jax.default_backend()
     eligible = (metric == "geo" and space == "quat" and not k_candidates
-                and k <= 8 and fused is not False and backend == "tpu")
+                and k <= 8 and fused is not False and backend == "tpu"
+                and (mesh is None or fused is True))
     if not eligible:
         if verbose:
             print("knn auto: fast engine not applicable to this search "
                   f"(metric={metric}, space={space}, k_candidates="
-                  f"{k_candidates}, k={k}, backend={backend}) -> exact "
-                  "'highest'")
+                  f"{k_candidates}, k={k}, backend={backend}, "
+                  f"sharded={mesh is not None}) -> exact 'highest'")
         return "highest", None
     from posendf_tpu.quat import SMPL_JOINT_RANK
 
@@ -530,7 +534,7 @@ def label_sequence(
         # labeling many sequences resolve ONCE via label_split instead)
         precision, _ = resolve_knn_precision(
             precision, corpus_np, k=k, weighted=weighted, metric=metric,
-            k_candidates=k_candidates, space=space, fused=fused)
+            k_candidates=k_candidates, space=space, fused=fused, mesh=mesh)
 
     if space == "joints" and corpus_emb is None:
         if body_model is None:
@@ -558,9 +562,12 @@ def label_sequence(
     # same ~1e-3 approximation class as the default-precision XLA einsum
     # (95% of top-5 sets identical on random corpora)
     fused_dot = {"highest": "vpu", "fast": "fast"}.get(precision, "mxu_bf16")
-    # XLA calls (scan fallback, two-stage, euclidean) have no 'fast' engine;
-    # they take the nearest jax precision
-    xla_precision = "default" if precision == "fast" else precision
+    # XLA calls (scan fallback, two-stage, euclidean) have no 'fast' engine.
+    # 'fast' promises prescreen + EXACT rerank, so its only faithful XLA
+    # fallback is exact 'highest' — mapping it to bf16 'default' would
+    # silently trade the promised exactness for near-tie neighbor swaps
+    # (hit by indivisible sharded tail batches and mesh+fused=None calls)
+    xla_precision = "highest" if precision == "fast" else precision
     fused_eligible = (metric == "geo" and corpus_emb is None
                       and not k_candidates and k <= 8
                       and precision in ("highest", "default", "fast"))

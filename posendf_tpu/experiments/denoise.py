@@ -226,7 +226,20 @@ class MotionDenoiser:
         self.params = params
         self.body_model = body_model
         self.adaptive = specs == "adaptive"
-        self.specs = dict(ADAPTIVE_SPECS) if self.adaptive else (specs or DENOISE_SPECS)
+        if isinstance(specs, str):
+            # named schedules, matching the CLI flag values — an unknown
+            # string must fail HERE, not as a TypeError iterating the
+            # string's characters inside the first optimize()
+            named = {"adaptive": dict(ADAPTIVE_SPECS),
+                     "balanced": dict(BALANCED_SPECS),
+                     "reference": dict(DENOISE_SPECS)}
+            if specs not in named:
+                raise ValueError(
+                    f"unknown specs name {specs!r}; expected one of "
+                    f"{sorted(named)} or a spec dict")
+            self.specs = named[specs]
+        else:
+            self.specs = specs or DENOISE_SPECS
         self.prior_gain = prior_gain
         # jitted solvers cached by (iterations, steps_per_iter): sequence
         # data flows through the aux pytree, so a benchmark sweep over many

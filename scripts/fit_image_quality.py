@@ -22,10 +22,15 @@ Camera-rotation gauge: stage 1 optimizes camera rotation AND global orient
 against torso keypoints, so (R_cam, orient) is only identified jointly —
 all pose metrics therefore compare body_pose at zero orient.
 
-Run (CPU is fine — the solves are small; ~2 min/seed):
-    JAX_PLATFORMS=cpu python scripts/fit_image_quality.py \
-        --ckpt docs/quality/ckpt_l8_best.msgpack --seeds 1 2 3 \
-        --out docs/quality/fit_image_closed_loop.json
+Run (CPU is fine — the solves are small; ~2 min/seed). NB the
+``--device cpu`` flag, not the env var: this image's sitecustomize pins
+``jax_platforms="axon,cpu"`` before user code, so ``JAX_PLATFORMS=cpu``
+alone is IGNORED and the run would land on the shared remote TPU
+(CLAUDE.md "Environment quirks"); the flag does the required
+``jax.config.update`` instead:
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/fit_image_quality.py \
+        --device cpu --ckpt docs/quality/ckpt_l8_best.msgpack \
+        --seeds 1 2 3 --out docs/quality/fit_image_closed_loop.json
 """
 
 import argparse

@@ -400,3 +400,25 @@ def test_synthesize_grid_single_family_and_smooth(tmp_path):
             # independent per-frame latents would give dots well below 0.9
             step = np.abs(np.sum(quats[1:] * quats[:-1], axis=-1))
             assert np.min(step) > 0.98
+
+
+def test_motion_denoiser_named_specs_and_bad_string(field, body):
+    """Regression: spec-name strings beyond 'adaptive' must resolve to the
+    matching dicts (the CLI flag values), and an unknown string must fail
+    at construction — not as a TypeError iterating the string's characters
+    inside the first optimize()."""
+    from posendf_tpu.experiments.denoise import (ADAPTIVE_SPECS,
+                                                 BALANCED_SPECS,
+                                                 DENOISE_SPECS)
+
+    module, params = field
+    assert MotionDenoiser(module, params, body,
+                          specs="balanced").specs == BALANCED_SPECS
+    assert MotionDenoiser(module, params, body,
+                          specs="reference").specs == DENOISE_SPECS
+    ad = MotionDenoiser(module, params, body, specs="adaptive")
+    assert ad.adaptive and ad.specs == ADAPTIVE_SPECS
+    assert not MotionDenoiser(module, params, body,
+                              specs="balanced").adaptive
+    with pytest.raises(ValueError, match="unknown specs name"):
+        MotionDenoiser(module, params, body, specs="blanced")

@@ -231,3 +231,42 @@ def test_load_field_fused_config_inits_on_cpu():
     field = posendf_tpu.load_field(config=cfg)
     assert field.module.use_fused  # serving path keeps the fused module
     assert "enc" in field.params and "dfnet" in field.params
+
+
+def test_cli_export_calib_key_and_width_handling(tmp_path, capsys):
+    """Regression: the --calib loader must (a) accept AMASS-style 'poses'
+    npz keys and full-pose 72-wide axis-angle rows (body joints start at
+    index 3, reference slice 3:72), (b) fail LOUDLY on unrecognized keys
+    and widths instead of a bare StopIteration / silent reinterpretation
+    of axis-angle floats as quaternions."""
+    r = np.random.default_rng(9)
+    full = r.normal(scale=0.2, size=(64, 72)).astype(np.float32)
+
+    # (a) 'poses' key, 72-wide: must equal an explicit 63-wide pose_body run
+    calib_full = str(tmp_path / "full.npz")
+    calib_body = str(tmp_path / "body.npz")
+    np.savez(calib_full, poses=full)
+    np.savez(calib_body, pose_body=full[:, 3:66])
+    a1 = str(tmp_path / "a1.jaxexport")
+    a2 = str(tmp_path / "a2.jaxexport")
+    main(["export", "-c", CFG, "--out", a1, "--int8", "--calib", calib_full])
+    main(["export", "-c", CFG, "--out", a2, "--int8", "--calib", calib_body])
+    capsys.readouterr()
+    probe = jnp.ones((2, 21, 4)) / 2.0
+    np.testing.assert_array_equal(np.asarray(load_artifact(a1).call(probe)),
+                                  np.asarray(load_artifact(a2).call(probe)))
+
+    # (b) unknown key
+    bad_key = str(tmp_path / "bad_key.npz")
+    np.savez(bad_key, thetas=full)
+    with pytest.raises(SystemExit, match="no recognized pose key"):
+        main(["export", "-c", CFG, "--out", str(tmp_path / "x"), "--int8",
+              "--calib", bad_key])
+
+    # (b) unsupported width (56 = 8*7 would previously reshape "cleanly"
+    # into garbage (N*2/3, 21, 4) quaternions)
+    bad_width = str(tmp_path / "bad_width.npz")
+    np.savez(bad_width, pose=full[:, :56])
+    with pytest.raises(SystemExit, match="width"):
+        main(["export", "-c", CFG, "--out", str(tmp_path / "y"), "--int8",
+              "--calib", bad_width])

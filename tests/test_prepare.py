@@ -316,3 +316,42 @@ def test_label_sequence_auto_resolves_on_cpu(rng_corpus=None):
                          rng=np.random.default_rng(1), precision="auto")
     np.testing.assert_array_equal(out["dist"], ref["dist"])
     np.testing.assert_array_equal(out["pose"], ref["pose"])
+
+
+def test_resolve_auto_with_mesh_defaults_exact():
+    """Regression: 'auto' under a mesh with fused unset must resolve to
+    exact 'highest' — the sharded DEFAULT engine is the XLA scan, which
+    has no prescreen analog, so resolving to 'fast' would silently run
+    bf16 'default' dots (near-tie neighbor swaps) while logging that the
+    fast bound is safe. fused=True keeps the fast engine available (the
+    shard_map'd kernel runs it per-chip)."""
+    from posendf_tpu.data.prepare import resolve_knn_precision
+
+    corpus = synthetic_manifold_poses(np.random.default_rng(10), 512)
+    mesh_sentinel = object()   # only `is None` is inspected pre-probe
+    prec, stats = resolve_knn_precision(
+        "auto", corpus, k=5, backend="tpu", mesh=mesh_sentinel,
+        verbose=False)
+    assert prec == "highest" and stats is None
+    prec, stats = resolve_knn_precision(
+        "auto", corpus, k=5, backend="tpu", mesh=mesh_sentinel, fused=True,
+        rng=np.random.default_rng(11), verbose=False)
+    assert prec == "fast" and stats is not None and stats["safe"]
+
+
+def test_label_sequence_fast_without_kernel_falls_back_exact():
+    """Regression: precision='fast' where the fused kernel cannot run
+    (here: fused=False) promises prescreen + EXACT rerank; the only
+    faithful XLA fallback is exact 'highest' — the labels must be
+    bit-identical to an exact run, not bf16-noisy."""
+    rng = np.random.default_rng(12)
+    corpus = synthetic_manifold_poses(rng, 256)
+    clean = synthetic_manifold_poses(rng, 32)
+    ref = label_sequence(clean, corpus, num_queries=20, k=3,
+                         rng=np.random.default_rng(2), precision="highest",
+                         fused=False)
+    out = label_sequence(clean, corpus, num_queries=20, k=3,
+                         rng=np.random.default_rng(2), precision="fast",
+                         fused=False)
+    np.testing.assert_array_equal(out["dist"], ref["dist"])
+    np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
