@@ -442,6 +442,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None)
     p.add_argument("--bm-path", default=None)
     p.add_argument("--max-frames", type=int, default=120)
+    p.add_argument("--occluded-joints", type=int, nargs="+", default=None,
+                   help="body-pose joint indices known to be unobserved; "
+                        "anchors the data term to observed joints only "
+                        "(observation_mask). Default: the reference's "
+                        "anchor-everything behavior")
+    p.add_argument("--mode", choices=("anchor", "inpaint", "retrieval"),
+                   default="anchor",
+                   help="'anchor': reference solve (occlusion-aware data "
+                        "term with --occluded-joints); 'inpaint': freeze "
+                        "observed dofs, complete only the occluded limb "
+                        "(INPAINT_SPECS); 'retrieval': visible-joint-"
+                        "weighted kNN splice against --corpus (the engine "
+                        "measured best for structured occlusions — "
+                        "docs/quality/partial_closed_loop.json)")
+    p.add_argument("--corpus", default=None,
+                   help=".npz of manifold poses ('pose' (N,21,4) quats) "
+                        "for --mode retrieval")
+    p.add_argument("--retrieval-k", type=int, default=5)
+    p.add_argument("--temporal-window", type=int, default=5)
     _add_mesh_out(p, "./partial_out")
     p.set_defaults(fn=cmd_partial)
 

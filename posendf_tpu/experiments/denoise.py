@@ -270,8 +270,18 @@ class MotionDenoiser:
                     # a single frame has no temporal stencil; jnp.mean over
                     # the empty (0, V) delta would be NaN and poison the solve
                     temp = jnp.zeros((), pose_body.dtype)
-                data = jnp.mean(jnp.sqrt(jnp.sum(
-                    (joints - aux["init_joints"]) ** 2, axis=-1) + 1e-12))
+                diff = jnp.sqrt(jnp.sum(
+                    (joints - aux["init_joints"]) ** 2, axis=-1) + 1e-12)
+                if "data_joint_mask" in aux:
+                    # partial observation: anchor only the OBSERVED joints
+                    # (mask over Jtr rows; see partial.observation_mask) —
+                    # unobserved parts are then governed by the prior and
+                    # the temporal term alone
+                    m = aux["data_joint_mask"]
+                    data = (jnp.sum(diff * m[None, :])
+                            / (diff.shape[0] * jnp.maximum(jnp.sum(m), 1e-9)))
+                else:
+                    data = jnp.mean(diff)
                 return {"pose_pr": jnp.mean(dist), "temp": temp, "data": data}
 
             self._solvers[key] = make_annealed_solver(
@@ -288,8 +298,20 @@ class MotionDenoiser:
         betas: Optional[jax.Array] = None,
         mesh=None,
         mesh_axis: str = "data",
+        data_joint_mask: Optional[jax.Array] = None,
+        param_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict[str, float]]:
         """Returns (denoised pose_body (B, 69), metrics).
+
+        ``data_joint_mask``: optional per-joint float mask over the body
+        model's Jtr rows; the data term anchors only the masked-in
+        (observed) joints. Build with
+        :func:`posendf_tpu.experiments.partial.observation_mask`.
+
+        ``param_mask``: optional float mask broadcastable to the (B, 69)
+        pose — zeroed dofs are FROZEN at their initial values (the
+        partial-observation inpaint mode optimizes only the unobserved
+        joints' dofs; :func:`posendf_tpu.experiments.partial.dof_mask`).
 
         ``mesh``: shard the frame axis over the given mesh axis — the jitted
         solve then runs SPMD, with the temporal term's 1-frame halo handled
@@ -322,6 +344,17 @@ class MotionDenoiser:
             "betas": betas_arr,
             "init_joints": init_joints,
         }
+        if data_joint_mask is not None:
+            mask = jnp.asarray(data_joint_mask, jnp.float32)
+            if mask.shape != init_joints.shape[1:2]:
+                raise ValueError(
+                    f"data_joint_mask has shape {mask.shape}; expected "
+                    f"({init_joints.shape[1]},) to match this body model's "
+                    "Jtr rows")
+            aux["data_joint_mask"] = mask
+        if param_mask is not None:
+            aux["param_mask"] = jnp.broadcast_to(
+                jnp.asarray(param_mask, jnp.float32), pose0.shape[-1:])
         noise_est = None
         if self.adaptive:
             # the field as the noise sensor: one clip-level estimate picks

@@ -101,6 +101,14 @@ def make_annealed_solver(
                 lr_mult = aux["lr_runtime"]
                 updates = jax.tree_util.tree_map(lambda u: u * lr_mult,
                                                  updates)
+            # dof freezing (aux["param_mask"], broadcastable to params):
+            # zeroed entries never move — the partial-observation INPAINT
+            # mode optimizes only the unobserved joints' dofs. Masking
+            # UPDATES (not grads) keeps frozen dofs bit-exact: Adam's
+            # moments may accumulate for them but their params never change
+            if isinstance(aux, dict) and "param_mask" in aux:
+                pm = aux["param_mask"]
+                updates = jax.tree_util.tree_map(lambda u: u * pm, updates)
             params = optax.apply_updates(params, updates)
             history = dict(terms, total=tot)
             return (params, opt_state), history

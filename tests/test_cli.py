@@ -193,3 +193,34 @@ def test_train_yaml_patience_fails_loud_without_vald(tmp_path):
     save_config(cfg, path)
     with pytest.raises(SystemExit, match="vald"):
         main(["train", "-c", path])
+
+
+def test_partial_occlusion_modes(tmp_path, capsys):
+    """The r5 occlusion-aware partial surface: --occluded-joints anchor
+    mode, inpaint mode, and retrieval mode against a corpus file."""
+    rng = np.random.default_rng(4)
+    motion = str(tmp_path / "motion.npz")
+    np.savez(motion,
+             pose_body=rng.normal(scale=0.2, size=(6, 63)).astype(np.float32))
+    main(["partial", "-c", CFG, "--motion-data", motion, "--max-frames", "4",
+          "--occluded-joints", "15", "17"])
+    assert "final_pose_pr" in capsys.readouterr().out
+
+    main(["partial", "-c", CFG, "--motion-data", motion, "--max-frames", "4",
+          "--occluded-joints", "15", "17", "--mode", "inpaint"])
+    assert "final_pose_pr" in capsys.readouterr().out
+
+    corpus = str(tmp_path / "corpus.npz")
+    q = rng.normal(size=(256, 21, 4)).astype(np.float32)
+    np.savez(corpus, pose=q / np.linalg.norm(q, axis=-1, keepdims=True))
+    out = str(tmp_path / "completed.npz")
+    main(["partial", "-c", CFG, "--motion-data", motion, "--max-frames", "4",
+          "--occluded-joints", "15", "17", "--mode", "retrieval",
+          "--corpus", corpus, "--out", out])
+    assert "wrote" in capsys.readouterr().out
+    with np.load(out) as z:
+        assert z["pose_body"].shape == (4, 69)
+
+    with pytest.raises(SystemExit, match="requires --corpus"):
+        main(["partial", "-c", CFG, "--motion-data", motion,
+              "--mode", "retrieval"])

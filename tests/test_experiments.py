@@ -422,3 +422,119 @@ def test_motion_denoiser_named_specs_and_bad_string(field, body):
                               specs="balanced").adaptive
     with pytest.raises(ValueError, match="unknown specs name"):
         MotionDenoiser(module, params, body, specs="blanced")
+
+
+# ---------------------------------------------------------------------------
+# partial observation: occlusion-aware masks, inpaint mode, retrieval engine
+# ---------------------------------------------------------------------------
+
+def test_observation_mask_tree_and_carriers():
+    """The mask zeroes an occluded joint's skeleton node AND all kinematic
+    descendants (an unobserved shoulder invalidates every downstream joint
+    position), leaves the rest observed; landmarks follow their carriers on
+    the 45-row real layout."""
+    from posendf_tpu.experiments.partial import observation_mask
+    from posendf_tpu.kinematics import SMPL_FULL_PARENTS
+
+    body = BodyModel(model=synthetic_model(num_vertices=80, seed=1))
+    # body joint 15 (l_shoulder) = skeleton 16; descendants 18, 20, 22
+    mask = observation_mask(body, [15])
+    assert mask.shape == (24,)
+    masked = {i for i in range(24) if mask[i] == 0.0}
+    expect = set()
+    for k in range(24):
+        a = k
+        while a != -1:
+            if a == 16:
+                expect.add(k)
+                break
+            a = SMPL_FULL_PARENTS[a]
+    assert masked == expect == {16, 18, 20, 22}
+    with pytest.raises(ValueError, match="body-pose joint indices"):
+        observation_mask(body, [23])
+
+
+def test_dof_mask():
+    from posendf_tpu.experiments.partial import dof_mask
+
+    m = dof_mask([0, 20])
+    assert m.shape == (69,)
+    assert m[:3].tolist() == [1, 1, 1] and m[60:63].tolist() == [1, 1, 1]
+    assert m.sum() == 6.0
+    with pytest.raises(ValueError, match="out of range"):
+        dof_mask([23])
+
+
+def test_inpaint_mode_freezes_observed_dofs(field, body):
+    """mode='inpaint': observed dofs return BIT-EXACT, occluded dofs move."""
+    from posendf_tpu.experiments.partial import INPAINT_SPECS
+
+    module, params = field
+    rng = np.random.default_rng(5)
+    pose = rng.normal(scale=0.2, size=(4, 69)).astype(np.float32)
+    occ = [12, 15, 17, 19]
+    comp = PartialCompleter(module, params, body, specs=INPAINT_SPECS)
+    out, _ = comp.optimize(jnp.asarray(pose), iterations=2, steps_per_iter=4,
+                           occluded_joints=occ, mode="inpaint")
+    out = np.asarray(out)
+    occ_dofs = sorted(d for j in occ for d in range(3 * j, 3 * j + 3))
+    vis_dofs = [d for d in range(69) if d not in occ_dofs]
+    np.testing.assert_array_equal(out[:, vis_dofs], pose[:, vis_dofs])
+    assert not np.allclose(out[:, occ_dofs], pose[:, occ_dofs])
+    with pytest.raises(ValueError, match="requires occluded_joints"):
+        comp.optimize(jnp.asarray(pose), mode="inpaint")
+    with pytest.raises(ValueError, match="'anchor' or 'inpaint'"):
+        comp.optimize(jnp.asarray(pose), mode="retrieval",
+                      occluded_joints=occ)
+
+
+def test_data_joint_mask_changes_solve_and_validates(field, body):
+    module, params = field
+    rng = np.random.default_rng(6)
+    pose = jnp.asarray(rng.normal(scale=0.2, size=(3, 69)).astype(np.float32))
+    den = MotionDenoiser(module, params, body)
+    n_rows = body(pose_body=pose).Jtr.shape[1]
+    mask = np.ones(n_rows, np.float32)
+    mask[5:] = 0.0
+    out_masked, _ = den.optimize(pose, iterations=2, steps_per_iter=4,
+                                 data_joint_mask=mask)
+    out_plain, _ = den.optimize(pose, iterations=2, steps_per_iter=4)
+    assert not np.allclose(np.asarray(out_masked), np.asarray(out_plain))
+    with pytest.raises(ValueError, match="data_joint_mask"):
+        den.optimize(pose, data_joint_mask=np.ones(n_rows + 1, np.float32))
+
+
+def test_complete_by_retrieval_reconstructs_limb():
+    """Visible-weighted kNN splice: corrupted joints recovered from the
+    corpus (error drops vs input), observed joints bit-exact. The engine
+    the partial closed loop measures best for structured occlusions
+    (docs/quality/partial_closed_loop.json)."""
+    from posendf_tpu.data.synthetic import (manifold_family,
+                                            synthetic_motion_sequence)
+    from posendf_tpu.data.synthetic import synthetic_manifold_poses
+    from posendf_tpu.experiments.partial import complete_by_retrieval
+    from posendf_tpu.quat import axis_angle_to_quaternion
+
+    rng = np.random.default_rng(7)
+    family = manifold_family(rng, 21, latents=2)
+    corpus = synthetic_manifold_poses(rng, 4096, family=family)
+    gt_q = synthetic_motion_sequence(rng, 8, family=family)
+    occ = [12, 15, 17, 19]
+    bad = np.asarray(gt_q).copy()
+    noise = rng.normal(scale=0.5, size=(8, len(occ), 4)).astype(np.float32)
+    bad[:, occ] = bad[:, occ] + noise
+    bad[:, occ] /= np.linalg.norm(bad[:, occ], axis=-1, keepdims=True)
+
+    done = complete_by_retrieval(corpus, bad, occ, k=5)
+    vis = [j for j in range(21) if j not in occ]
+    np.testing.assert_array_equal(done[:, vis], bad[:, vis])
+
+    def occ_err(q):
+        dots = np.abs(np.sum(q[:, occ] * np.asarray(gt_q)[:, occ], -1))
+        return float(np.mean(1.0 - dots))
+
+    assert occ_err(done) < 0.5 * occ_err(bad)
+    with pytest.raises(ValueError, match="proper nonempty subset"):
+        complete_by_retrieval(corpus, bad, list(range(21)))
+    with pytest.raises(ValueError, match="proper nonempty subset"):
+        complete_by_retrieval(corpus, bad, [])
