@@ -551,6 +551,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "per query pose. Default reproduces the reference "
                         "quirk — ONE (21,4) draw shared by every pose of a "
                         "sigma group (create_data.py:88)")
+    p.add_argument("--structured-frac", type=float, default=0.0,
+                   help="fraction of queries given LIMB-structured noise "
+                        "(one random kinematic chain corrupted, others "
+                        "clean) instead of the all-joint sigma grid — "
+                        "trains fields that can SEE occlusion-class "
+                        "corruption, which the reference noise family is "
+                        "measurably blind to (ARCHITECTURE §7, partial "
+                        "closed loop). 0.0 = reference-exact sampler")
+    p.add_argument("--structured-sigma", type=float, nargs=2,
+                   default=[0.3, 1.0],
+                   help="per-query sigma range of structured chain noise")
     p.set_defaults(fn=cmd_prepare_data)
 
     return ap

@@ -161,13 +161,40 @@ def build_corpus(sampled_dir: str, subsets: Sequence[str]) -> Tuple[np.ndarray, 
 @dataclass
 class NoiseSpec:
     """Sigma grid of the reference noisy-query sampler
-    (``data/create_data.py:51-52``)."""
+    (``data/create_data.py:51-52``), plus the framework's structured-noise
+    extension.
+
+    ``structured_frac > 0`` diverts that fraction of each run's samples to
+    LIMB-STRUCTURED corruption: a random kinematic chain
+    (``SMPL_LIMB_CHAINS``) gets per-joint gaussian quaternion noise at a
+    sigma drawn from ``structured_sigma``, all other joints stay clean.
+    Why: the reference's noise family perturbs ALL joints at once, so a
+    field trained on it is measurably blind to few-joint large errors —
+    the occlusion/tracking-failure corruption class of the partial task
+    (probe: true 5-NN 0.119 read as d=0.011,
+    docs/quality/partial_closed_loop.json). Structured samples teach the
+    field that direction class. Default 0.0 = reference-exact sampler.
+    """
 
     sigmas: Tuple[float, ...] = (0.01, 0.05, 0.1, 0.25, 0.5)
     distribution: Tuple[float, ...] = (0.2, 0.2, 0.2, 0.2, 0.2)
+    structured_frac: float = 0.0
+    structured_sigma: Tuple[float, float] = (0.3, 1.0)
 
     def counts(self, num_samples: int) -> np.ndarray:
         return np.rint(num_samples * np.asarray(self.distribution)).astype(np.int64)
+
+
+# SMPL body-pose joint chains (kinematics.py numbering: body joint i =
+# skeleton joint i+1) — the corruption units of structured noise and the
+# occlusion sets of the partial-observation benchmark
+SMPL_LIMB_CHAINS: Tuple[Tuple[int, ...], ...] = (
+    (12, 15, 17, 19),    # left arm: collar, shoulder, elbow, wrist
+    (13, 16, 18, 20),    # right arm
+    (0, 3, 6, 9),        # left leg: hip, knee, ankle, foot
+    (1, 4, 7, 10),       # right leg
+    (2, 5, 8, 11, 14),   # spine1-3, neck, head
+)
 
 
 def quat_doublecover(quats: np.ndarray, samples: int,
@@ -222,8 +249,15 @@ def sample_noisy_queries(
         raise ValueError(
             f"num_samples={num_samples} over runs={runs} rounds every "
             "per-sigma count to zero — nothing to sample")
+    n_struct = int(round(per_run * spec.structured_frac))
+    n_grid = per_run - n_struct
+    if n_struct and int(spec.counts(n_grid).sum()) == 0 and n_grid > 0:
+        raise ValueError(
+            f"structured_frac={spec.structured_frac} leaves only {n_grid} "
+            "grid samples per run, which rounds every per-sigma count to "
+            "zero")
     for _ in range(runs):
-        for sigma, n in zip(spec.sigmas, spec.counts(per_run)):
+        for sigma, n in zip(spec.sigmas, spec.counts(n_grid)):
             if n == 0:
                 continue
             idx = rng.integers(0, len(clean_quats), n)
@@ -231,6 +265,29 @@ def sample_noisy_queries(
             noisy = clean_quats[idx] + sigma * rng.random(shape, dtype=np.float32)
             noisy /= np.linalg.norm(noisy, axis=-1, keepdims=True)
             out.append(noisy.astype(np.float32))
+        if n_struct:
+            # structured samples: ONE random limb chain per query gets
+            # per-joint gaussian noise at a per-query sigma, all other
+            # joints stay exactly clean. Gaussian (not the grid's U[0,1))
+            # is deliberate: this is a new corruption class, not a
+            # reference quirk, and the zero-mean draw covers the chain's
+            # rotation neighborhood symmetrically. rng is only touched
+            # when n_struct > 0, so structured_frac=0.0 reproduces the
+            # reference draw stream bit-for-bit.
+            idx = rng.integers(0, len(clean_quats), n_struct)
+            base = clean_quats[idx].copy()
+            chain_ids = rng.integers(0, len(SMPL_LIMB_CHAINS), n_struct)
+            sig = rng.uniform(*spec.structured_sigma,
+                              size=n_struct).astype(np.float32)
+            for c, chain in enumerate(SMPL_LIMB_CHAINS):
+                m = chain_ids == c
+                if not m.any():
+                    continue
+                noise = rng.standard_normal(
+                    (int(m.sum()), len(chain), 4)).astype(np.float32)
+                base[np.ix_(m, np.asarray(chain))] += sig[m, None, None] * noise
+            base /= np.linalg.norm(base, axis=-1, keepdims=True)
+            out.append(base.astype(np.float32))
     return np.concatenate(out)
 
 
@@ -673,6 +730,7 @@ def label_split(
     precision: str = "highest",
     per_pose_noise: bool = False,
     fused: Optional[bool] = None,
+    spec: NoiseSpec = NoiseSpec(),
 ) -> List[str]:
     """Label every sequence of a split against the split-wide corpus.
 
@@ -721,7 +779,7 @@ def label_split(
             metric=metric, weighted=weighted, rng=rng,
             space=space, body_model=body_model,
             corpus_emb=corpus_emb, corpus_np=corpus, precision=precision,
-            per_pose_noise=per_pose_noise, runs=runs, fused=fused,
+            per_pose_noise=per_pose_noise, runs=runs, fused=fused, spec=spec,
         )
         np.savez(out_path, **labeled)
         written.append(out_path)
@@ -762,5 +820,9 @@ def run_cli(args) -> None:
             per_pose_noise=getattr(args, "per_pose_noise", False),
             fused={"auto": None, "on": True, "off": False}[
                 getattr(args, "fused_knn", "auto")],
+            spec=NoiseSpec(
+                structured_frac=getattr(args, "structured_frac", 0.0),
+                structured_sigma=tuple(
+                    getattr(args, "structured_sigma", (0.3, 1.0)))),
         )
         print(f"stage 3: labeled {len(out)} sequences -> {labeled_dir}")

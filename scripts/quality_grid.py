@@ -97,6 +97,11 @@ def main():
                          "curvature = larger label floor but a less gentle "
                          "manifold (the NN of a noisy pose drifts from its "
                          "clean source)")
+    ap.add_argument("--structured-frac", type=float, default=0.0,
+                    help="fraction of labeled queries given LIMB-structured "
+                         "noise (one random chain corrupted, rest clean; "
+                         "NoiseSpec.structured_frac) - trains fields that "
+                         "detect occlusion-class corruption")
     ap.add_argument("--per-pose-noise", action="store_true",
                     help="corrected per-pose noise draws instead of the "
                          "reference's shared-per-group draw")
@@ -205,7 +210,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from posendf_tpu.config import PoseNDFConfig
-    from posendf_tpu.data.prepare import label_sequence
+    from posendf_tpu.data.prepare import NoiseSpec, label_sequence
     from posendf_tpu.data.synthetic import (synthetic_manifold_poses,
                                             synthetic_motion_sequence)
     from posendf_tpu.experiments import MotionDenoiser
@@ -242,8 +247,10 @@ def main():
         cache_latents = int(z["latents"]) if "latents" in z else 2
         cache_freq = (list(z["freq"]) if "freq" in z else [0.15, 0.4])
         cache_seed = int(z["seed"]) if "seed" in z else 0
+        cache_sf = float(z["structured_frac"]) if "structured_frac" in z else 0.0
         if (int(z["corpus_n"]) != N or int(z["queries_n"]) != Q
                 or bool(z["per_pose_noise"]) != args.per_pose_noise
+                or cache_sf != args.structured_frac
                 or cache_latents != args.latents
                 or cache_freq != list(args.freq)
                 or cache_seed != args.seed):
@@ -264,10 +271,12 @@ def main():
         # (prepare_traindata.py:45,104 — 128 here so runs divides the
         # power-of-2 query count); labels = exact geodesic top-5
         runs = 1 if args.per_pose_noise else max(1, Q // 128)
+        spec = NoiseSpec(structured_frac=args.structured_frac)
         labeled = label_sequence(
             corpus_np, corpus, corpus_np=corpus_np, num_queries=Q, k=5,
             rng=_rng(1), per_pose_noise=args.per_pose_noise,
-            runs=runs, precision="default" if on_tpu else "highest")
+            runs=runs, precision="default" if on_tpu else "highest",
+            spec=spec)
         q_pose = jnp.asarray(labeled["pose"])          # (Q, 21, 4)
         q_dist = jnp.asarray(labeled["dist"].mean(axis=1))  # mean-of-5 (load_data.py:53)
         t_label = time.perf_counter() - t0
@@ -281,12 +290,13 @@ def main():
             corpus_np, corpus, corpus_np=corpus_np, num_queries=held_n, k=5,
             rng=_rng(2), per_pose_noise=args.per_pose_noise,
             runs=1 if args.per_pose_noise else max(1, held_n // 128),
-            precision="default" if on_tpu else "highest")
+            precision="default" if on_tpu else "highest", spec=spec)
         h_pose = jnp.asarray(held["pose"])
         h_dist = np.asarray(held["dist"].mean(axis=1))
         if cache:
             np.savez(cache, corpus_n=N, queries_n=Q,
                      per_pose_noise=args.per_pose_noise,
+                     structured_frac=args.structured_frac,
                      latents=args.latents, freq=np.asarray(args.freq),
                      seed=args.seed,
                      q_pose=np.asarray(q_pose), q_dist=np.asarray(q_dist),
@@ -597,6 +607,7 @@ def main():
         "recenter": args.recenter if args.init == "he" else None,
         "w_eikonal": args.w_eikonal, "fused": use_fused,
         "per_pose_noise": args.per_pose_noise,
+        "structured_frac": args.structured_frac,
         "val_gate": val_gate,
         "field_corr_final": round(final_corr, 4),
         "field_corr_best": (round(best["corr"], 4)

@@ -355,3 +355,58 @@ def test_label_sequence_fast_without_kernel_falls_back_exact():
                          fused=False)
     np.testing.assert_array_equal(out["dist"], ref["dist"])
     np.testing.assert_array_equal(out["nn_pose"], ref["nn_pose"])
+
+
+def test_structured_noise_sampler():
+    """NoiseSpec.structured_frac: structured samples corrupt exactly one
+    limb chain (other joints returned clean to fp precision), counts add
+    up, and frac=0.0 keeps the reference draw stream (same rng, same
+    output)."""
+    from posendf_tpu.data.prepare import (SMPL_LIMB_CHAINS, NoiseSpec,
+                                          sample_noisy_queries)
+
+    clean = synthetic_manifold_poses(np.random.default_rng(0), 1)
+
+    spec = NoiseSpec(structured_frac=1.0, structured_sigma=(0.5, 1.0))
+    out = sample_noisy_queries(clean, 64, spec, np.random.default_rng(1),
+                               per_pose_noise=True)
+    assert out.shape == (64, 21, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), 1.0, atol=1e-6)
+    chains = [set(c) for c in SMPL_LIMB_CHAINS]
+    for q in out:
+        moved = {j for j in range(21)
+                 if not np.allclose(q[j], clean[0, j], atol=1e-6)}
+        assert moved in chains, f"corrupted joints {moved} are not one chain"
+
+    # half-and-half: total count is grid(32) + 32 structured
+    spec_h = NoiseSpec(structured_frac=0.5)
+    out_h = sample_noisy_queries(clean, 64, spec_h,
+                                 np.random.default_rng(2),
+                                 per_pose_noise=True)
+    grid_n = int(NoiseSpec().counts(32).sum())
+    assert len(out_h) == grid_n + 32
+
+    # frac=0.0 must not consume any extra rng draws vs the default spec
+    a = sample_noisy_queries(clean, 40, NoiseSpec(),
+                             np.random.default_rng(3), per_pose_noise=True)
+    b = sample_noisy_queries(clean, 40, NoiseSpec(structured_frac=0.0),
+                             np.random.default_rng(3), per_pose_noise=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_label_sequence_structured_spec_labels_match_oracle(rng):
+    """Structured queries flow through labeling unchanged: exact top-k
+    distances against the brute-force oracle."""
+    from posendf_tpu.data.prepare import NoiseSpec, label_sequence
+
+    corpus = synthetic_manifold_poses(rng, 256)
+    clean = synthetic_manifold_poses(rng, 32)
+    spec = NoiseSpec(structured_frac=0.5)
+    labeled = label_sequence(clean, corpus, num_queries=24, k=3,
+                             rng=np.random.default_rng(5), spec=spec)
+    q = labeled["pose"]
+    dots = (q[:, None] * corpus[None]).sum(-1)
+    geo = (1 - np.abs(dots)).mean(-1)
+    ref = np.sort(geo, axis=1)[:, :3]
+    np.testing.assert_allclose(labeled["dist"], ref, atol=1e-5)
