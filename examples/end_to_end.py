@@ -89,13 +89,10 @@ def main():
     # matching the OBSERVED joints against the clean manifold corpus
     # (experiments/partial.py::complete_by_retrieval; the engine the
     # closed-loop benchmark measures best for structured occlusions)
-    import glob
-
+    from posendf_tpu.data.prepare import build_corpus
     from posendf_tpu.experiments.partial import complete_by_retrieval
 
-    corpus = np.concatenate([
-        np.load(f)["pose"] for f in sorted(
-            glob.glob(os.path.join(amass, "*", "*.npz")))])
+    corpus, _ = build_corpus(amass, ("ACCAD", "CMU"))
     occ = [12, 15, 17, 19]  # l_collar, l_shoulder, l_elbow, l_wrist
     observed = clean.copy()
     observed[:, occ] += rng.standard_normal((12, len(occ), 4)).astype(np.float32)

@@ -245,13 +245,16 @@ def sample_noisy_queries(
             "fewer queries than requested")
     out = []
     per_run = num_samples // runs if runs > 1 else num_samples
-    if int(spec.counts(per_run).sum()) == 0:
+    n_struct = int(round(per_run * spec.structured_frac))
+    n_grid = per_run - n_struct
+    # structured-only requests (n_grid == 0) legitimately need no grid
+    # draws — only raise when GRID samples were requested but every
+    # per-sigma count rounded to zero
+    if n_struct == 0 and int(spec.counts(per_run).sum()) == 0:
         raise ValueError(
             f"num_samples={num_samples} over runs={runs} rounds every "
             "per-sigma count to zero — nothing to sample")
-    n_struct = int(round(per_run * spec.structured_frac))
-    n_grid = per_run - n_struct
-    if n_struct and int(spec.counts(n_grid).sum()) == 0 and n_grid > 0:
+    if n_struct and n_grid > 0 and int(spec.counts(n_grid).sum()) == 0:
         raise ValueError(
             f"structured_frac={spec.structured_frac} leaves only {n_grid} "
             "grid samples per run, which rounds every per-sigma count to "

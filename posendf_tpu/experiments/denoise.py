@@ -353,8 +353,14 @@ class MotionDenoiser:
                     "Jtr rows")
             aux["data_joint_mask"] = mask
         if param_mask is not None:
-            aux["param_mask"] = jnp.broadcast_to(
-                jnp.asarray(param_mask, jnp.float32), pose0.shape[-1:])
+            mask = jnp.asarray(param_mask, jnp.float32)
+            try:
+                aux["param_mask"] = jnp.broadcast_to(mask, pose0.shape)
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"param_mask has shape {mask.shape}; expected a shape "
+                    f"broadcastable to the optimized pose {pose0.shape} "
+                    f"(e.g. ({pose0.shape[-1]},))") from None
         noise_est = None
         if self.adaptive:
             # the field as the noise sensor: one clip-level estimate picks

@@ -35,17 +35,17 @@ _LANDMARK_CARRIER = (15,) * 5 + (10,) * 3 + (11,) * 3 + (22,) * 5 + (23,) * 5
 
 
 # Inpaint-mode schedule: with the observed dofs FROZEN (dof_mask) there is
-# nothing for a data term to protect, so the solve is pure completion —
-# the denoise prior form (self-weighted 1e7 L^2, the weighting measured
-# best throughout ARCHITECTURE §7) pulls the unobserved limb onto the
-# manifold consistent with the frozen body, and the temporal term keeps
-# the completed limb's motion smooth across frames. The data term stays
-# masked-in only to hold the occluded joints NEAR the init when the field
-# is flat there (weak, decaying — the reference data weight).
+# nothing for a data term to do — the masked-in (observed) Jtr rows depend
+# only on frozen dofs on a real SMPL tree, so a data term would be a
+# constant with zero gradient; it is OMITTED from the spec (the solver
+# weights only the keys present). The solve is pure completion: the
+# denoise prior form (self-weighted 1e7 L^2, the weighting measured best
+# throughout ARCHITECTURE §7) pulls the unobserved limb onto the manifold
+# consistent with the frozen body, and the temporal term keeps the
+# completed limb's motion smooth across frames.
 INPAINT_SPECS = {
     "pose_pr": AnnealSpec(scale=1e7, power=2, anneal=-1.0),
     "temp": AnnealSpec(scale=10.0, power=1, anneal=+1.0),
-    "data": AnnealSpec(scale=10.0, power=1, anneal=-1.0, active_after=0),
 }
 
 
@@ -96,15 +96,14 @@ def observation_mask(body_model: BodyModel, occluded_joints) -> np.ndarray:
                 break
             a = parents[a]
     mask = (~masked).astype(np.float32)
-    n_rows = int(np.asarray(
-        body_model(pose_body=np.zeros((1, 69), np.float32)).Jtr.shape[1]))
-    if n_rows == K + len(_LANDMARK_CARRIER):
+    # same static predicate as lbs.with_landmarks: real SMPL meshes (vertex
+    # count covers the landmark ids) get 24 + 21 Jtr rows, synthetic test
+    # meshes the bare skeleton — no LBS forward needed just to count rows
+    from posendf_tpu.smpl.lbs import SMPL_VERTEX_LANDMARKS
+
+    if body_model.model.v_template.shape[0] > int(SMPL_VERTEX_LANDMARKS.max()):
         mask = np.concatenate(
             [mask, mask[np.asarray(_LANDMARK_CARRIER, int)]])
-    elif n_rows != K:
-        raise ValueError(
-            f"body model has {n_rows} Jtr rows; expected {K} (skeleton) "
-            f"or {K + len(_LANDMARK_CARRIER)} (skeleton + landmarks)")
     return mask
 
 
@@ -132,6 +131,14 @@ class PartialCompleter(MotionDenoiser):
         if mode not in ("anchor", "inpaint"):
             raise ValueError(f"mode must be 'anchor' or 'inpaint', "
                              f"got {mode!r}")
+        if isinstance(gt_pose_body, int):
+            # the pre-r5 signature had iterations as the 2nd positional
+            # parameter; fail with a migration hint instead of a confusing
+            # len() TypeError deep inside the base optimize
+            raise TypeError(
+                f"got int {gt_pose_body} for gt_pose_body — since r5 the "
+                "2nd parameter is the optional ground-truth sequence; pass "
+                "iterations/steps_per_iter as keywords")
         if occluded_joints is not None:
             kw.setdefault("data_joint_mask",
                           observation_mask(self.body_model, occluded_joints))
@@ -186,6 +193,11 @@ def complete_by_retrieval(
 
     from posendf_tpu.ops.knn import geodesic_topk
 
+    if temporal_window > 1 and temporal_window % 2 == 0:
+        raise ValueError(
+            f"temporal_window={temporal_window} must be odd (the smoothing "
+            "window is centered on each frame); an even value would "
+            "silently average one frame more than requested")
     corpus_np = np.asarray(corpus)
     q_np = np.asarray(quats, np.float32)
     occ = np.asarray(sorted({int(j) for j in occluded_joints}), int)

@@ -538,3 +538,32 @@ def test_complete_by_retrieval_reconstructs_limb():
         complete_by_retrieval(corpus, bad, list(range(21)))
     with pytest.raises(ValueError, match="proper nonempty subset"):
         complete_by_retrieval(corpus, bad, [])
+
+
+def test_partial_optimize_guards_and_param_mask_validation(field, body):
+    """Regression: pre-r5 positional iterations now raises a migration
+    TypeError; param_mask accepts (B, 69) and rejects unbroadcastable
+    shapes with a clear error; even retrieval windows are rejected."""
+    from posendf_tpu.experiments.partial import complete_by_retrieval
+
+    module, params = field
+    rng = np.random.default_rng(8)
+    pose = jnp.asarray(rng.normal(scale=0.2, size=(3, 69)).astype(np.float32))
+    comp = PartialCompleter(module, params, body)
+    with pytest.raises(TypeError, match="gt_pose_body"):
+        comp.optimize(pose, 5, 10)
+
+    den = MotionDenoiser(module, params, body)
+    full_mask = np.ones((3, 69), np.float32)
+    full_mask[1:] = 0.0  # freeze all but frame 0 — per-frame masks work
+    out, _ = den.optimize(pose, iterations=1, steps_per_iter=3,
+                          param_mask=full_mask)
+    np.testing.assert_array_equal(np.asarray(out)[1:], np.asarray(pose)[1:])
+    assert not np.allclose(np.asarray(out)[0], np.asarray(pose)[0])
+    with pytest.raises(ValueError, match="param_mask"):
+        den.optimize(pose, param_mask=np.ones((2, 69), np.float32))
+
+    corpus = np.array(jax.random.normal(jax.random.key(0), (64, 21, 4)))
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    with pytest.raises(ValueError, match="must be odd"):
+        complete_by_retrieval(corpus, corpus[:3], [1, 2], temporal_window=4)

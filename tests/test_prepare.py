@@ -410,3 +410,19 @@ def test_label_sequence_structured_spec_labels_match_oracle(rng):
     geo = (1 - np.abs(dots)).mean(-1)
     ref = np.sort(geo, axis=1)[:, :3]
     np.testing.assert_allclose(labeled["dist"], ref, atol=1e-5)
+
+
+def test_structured_only_small_batch_is_valid():
+    """Regression: a structured-only request (grid count 0 by design) must
+    sample, not raise the 'rounds every per-sigma count to zero' error."""
+    from posendf_tpu.data.prepare import NoiseSpec, sample_noisy_queries
+
+    clean = synthetic_manifold_poses(np.random.default_rng(20), 4)
+    out = sample_noisy_queries(clean, 2, NoiseSpec(structured_frac=1.0),
+                               np.random.default_rng(21),
+                               per_pose_noise=True)
+    assert out.shape == (2, 21, 4)
+    # a tiny GRID request still fails loud
+    with pytest.raises(ValueError, match="rounds every per-sigma count"):
+        sample_noisy_queries(clean, 2, NoiseSpec(),
+                             np.random.default_rng(22))
