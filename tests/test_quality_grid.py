@@ -33,6 +33,8 @@ def test_quality_grid_micro(tmp_path):
         # cover the generalized manifold family (the run-of-record uses a
         # higher intrinsic dimension so labels span the sigma grid)
         "--latents", "4", "--freq", "0.3", "0.8",
+        # cover the r5 structured-noise labeling path end to end
+        "--structured-frac", "0.25",
         "--save-ckpt", str(tmp_path / "qg.msgpack"),
     ]
     env = dict(os.environ)
@@ -69,6 +71,7 @@ def test_quality_grid_micro(tmp_path):
     assert result["recenter"] is None
     # manifold-family provenance recorded
     assert result["latents"] == 4 and result["freq"] == [0.3, 0.8]
+    assert result["structured_frac"] == 0.25
 
     # --load-ckpt: re-run the grid from the saved params WITHOUT training
     # (how docs/quality/ckpt_l8_best.msgpack is consumed) — field eval must
@@ -80,6 +83,9 @@ def test_quality_grid_micro(tmp_path):
         "--batch", "256", "--clips", "1", "--frames", "6",
         "--sigmas", "0.1", "--out", str(out2),
         "--latents", "4", "--freq", "0.3", "0.8",
+        # same noise spec as the training run: the held-out label draw must
+        # match for the exact-reproduction assertion below
+        "--structured-frac", "0.25",
         "--load-ckpt", str(tmp_path / "qg.msgpack"),
     ]
     proc = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True,
