@@ -7,7 +7,12 @@ from posendf_tpu.experiments.optim import (
     make_annealed_solver,
     run_annealed_adam,
 )
-from posendf_tpu.experiments.partial import PartialCompleter
+from posendf_tpu.experiments.partial import (
+    PartialCompleter,
+    complete_by_retrieval,
+    dof_mask,
+    observation_mask,
+)
 from posendf_tpu.experiments.render import render_meshes, save_meshes, save_obj
 
 __all__ = [
@@ -16,6 +21,7 @@ __all__ = [
     "ImageFitter",
     "interpolate",
     "AnnealSpec", "make_annealed_solver", "run_annealed_adam",
-    "PartialCompleter",
+    "PartialCompleter", "complete_by_retrieval", "dof_mask",
+    "observation_mask",
     "render_meshes", "save_meshes", "save_obj",
 ]
