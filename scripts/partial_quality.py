@@ -17,8 +17,10 @@ scripts/quality_grid.py and fit_image_quality.py):
      corruption is visible to the metric and to the trained field at all;
   4. complete with every strategy the framework ships, prior-on vs
      prior-off where a prior weight exists:
-       * ``anchor``    — the reference-exact solve (anchor-everything,
-                         PARTIAL_SPECS 10x10);
+       * ``anchor``    — the reference PARTIAL_SPECS schedule (10x10) with
+                         the data term made occlusion-aware (observed-joint
+                         anchors; the fully anchor-everything solve measures
+                         within 0.3 deg of it — ARCHITECTURE §7 footnote);
        * ``inpaint``   — observed dofs FROZEN, occluded dofs optimized
                          under INPAINT_SPECS (10x50);
        * ``retrieval`` — visible-joint-weighted kNN splice + temporal
