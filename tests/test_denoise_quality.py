@@ -138,3 +138,48 @@ def test_adaptive_schedule_bounds_near_clean_regression(trained):
     # reference schedule's own result (it should be far better)
     bound = max(1.5 * m_ad["v2v_input_cm"], m_ref["v2v_cm"])
     assert m_ad["v2v_cm"] <= bound + 1e-6, (m_ad, m_ref)
+
+
+def test_structured_field_detects_limb_corruption():
+    """The r5 structured-labeling-noise claim, pinned on the COMMITTED
+    checkpoints: the field trained with 25% per-limb structured noise
+    separates a both-arms sigma-1.0 corruption from clean clips by > 3x
+    in its own distance, while the reference-noise field of record reads
+    the same corruption inside ~2x of its clean floor (the blindness the
+    partial closed loop measures; docs/quality/partial_closed_loop*.json,
+    ARCHITECTURE §7 'Structured labeling noise')."""
+    import os
+
+    import posendf_tpu
+    from posendf_tpu.quat import axis_angle_to_quaternion
+
+    qdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "quality")
+    ckpts = {name: os.path.join(qdir, f"ckpt_l8_{name}.msgpack")
+             for name in ("best", "structured")}
+    if not all(os.path.exists(p) for p in ckpts.values()):
+        pytest.skip("committed L8 checkpoints not present")
+
+    family = manifold_family(np.random.default_rng(123), 21,
+                             latents=8, freq_range=(0.5, 1.2))
+    rng = np.random.default_rng([1, 501])
+    gt_q = synthetic_motion_sequence(rng, 30, family=family)
+    gt63 = np.asarray(quaternion_to_axis_angle(
+        jnp.asarray(gt_q))).reshape(30, 63)
+    occ = [12, 13, 15, 16, 17, 18, 19, 20]
+    bad = gt63.copy().reshape(30, 21, 3)
+    bad[:, occ] += rng.standard_normal((30, len(occ), 3))
+
+    def mean_d(field, p63):
+        q = axis_angle_to_quaternion(jnp.asarray(
+            p63.astype(np.float32)).reshape(-1, 21, 3))
+        return float(jnp.mean(field.distance(q)))
+
+    ratios = {}
+    for name, path in ckpts.items():
+        field = posendf_tpu.load_field(path)
+        ratios[name] = (mean_d(field, bad.reshape(30, 63))
+                        / max(mean_d(field, gt63), 1e-9))
+    # measured: reference field ~1.2-1.5x, structured field ~6-8x
+    assert ratios["best"] < 2.5, ratios
+    assert ratios["structured"] > 3.0, ratios
