@@ -20,7 +20,6 @@ Usage: ``python -m posendf_tpu.cli <command> [options]``.
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _add_common(p: argparse.ArgumentParser):

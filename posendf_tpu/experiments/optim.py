@@ -16,7 +16,6 @@ computed in-graph, term gating (``data`` active only for it > 0) is a
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
