@@ -567,3 +567,26 @@ def test_partial_optimize_guards_and_param_mask_validation(field, body):
     corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
     with pytest.raises(ValueError, match="must be odd"):
         complete_by_retrieval(corpus, corpus[:3], [1, 2], temporal_window=4)
+
+
+def test_complete_by_retrieval_exact_recovery_invariant():
+    """When the corpus CONTAINS the ground-truth poses, k=1 retrieval on
+    clean visible joints must recover the occluded joints exactly (up to
+    the quaternion double cover) — the engine's correctness invariant,
+    independent of corpus density."""
+    from posendf_tpu.data.synthetic import (manifold_family,
+                                            synthetic_manifold_poses)
+    from posendf_tpu.experiments.partial import complete_by_retrieval
+
+    rng = np.random.default_rng(13)
+    family = manifold_family(rng, 21, latents=2)
+    corpus = synthetic_manifold_poses(rng, 512, family=family)
+    gt = corpus[64:72]                      # the clip IS in the corpus
+    occ = [13, 16, 18, 20]
+    bad = gt.copy()
+    bad[:, occ] = rng.normal(size=(8, len(occ), 4)).astype(np.float32)
+    bad[:, occ] /= np.linalg.norm(bad[:, occ], axis=-1, keepdims=True)
+
+    done = complete_by_retrieval(corpus, bad, occ, k=1, temporal_window=1)
+    dots = np.abs(np.sum(done[:, occ] * gt[:, occ], -1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
