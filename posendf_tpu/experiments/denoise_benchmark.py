@@ -78,10 +78,18 @@ def run_sweep(
     iterations: int = 10,
     steps_per_iter: int = 50,
     out_path: Optional[str] = None,
+    batch_clips: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Denoise every sequence of every grid level; returns
     {level: v2v_cm array} and optionally saves the aggregate table
     (the reference's ``posendf_table_2.npz``, ``motion_denoise.py:191``).
+
+    ``batch_clips`` (default): same-length clips of a level solve as ONE
+    vmapped device program (``MotionDenoiser.optimize_many`` — per-clip
+    math identical to the serial path, equivalence-tested); serial
+    dispatch costs a host round-trip per clip, comparable to the whole
+    60-frame solve on a relay-attached chip. Odd-length clips fall back
+    to the serial path automatically.
 
     Sequences without a ``gt_results.npz`` have no ground truth to score
     against; their output-vs-input drift is aggregated SEPARATELY under
@@ -99,6 +107,7 @@ def run_sweep(
             continue
         errors: List[float] = []
         no_gt: List[float] = []
+        clips = []
         for seq in sorted(os.listdir(level_dir)):
             obs = os.path.join(level_dir, seq, "observations.npz")
             gt = os.path.join(level_dir, seq, "gt_results.npz")
@@ -108,15 +117,36 @@ def run_sweep(
             gt_arr = _load_pose_file(gt, frames=len(noisy)) if os.path.exists(gt) else None
             if gt_arr is not None and len(gt_arr) < len(noisy):
                 noisy = noisy[: len(gt_arr)]
-            _, metrics = denoiser.optimize(
-                jnp.asarray(noisy),
-                jnp.asarray(gt_arr) if gt_arr is not None else None,
-                iterations=iterations, steps_per_iter=steps_per_iter,
-            )
-            if "v2v_cm" in metrics:
-                errors.append(metrics["v2v_cm"])
+            clips.append((noisy, gt_arr))
+
+        # group same-shape clips for the batched solve; the rest go serial
+        groups: Dict[tuple, List[int]] = {}
+        for i, (noisy, gt_arr) in enumerate(clips):
+            groups.setdefault((len(noisy), gt_arr is not None), []).append(i)
+        for (T, has_gt), idxs in sorted(groups.items()):
+            if batch_clips and len(idxs) > 1:
+                stack = jnp.asarray(np.stack([clips[i][0] for i in idxs]))
+                gt_stack = (jnp.asarray(np.stack([clips[i][1] for i in idxs]))
+                            if has_gt else None)
+                _, m = denoiser.optimize_many(
+                    stack, gt_stack,
+                    iterations=iterations, steps_per_iter=steps_per_iter)
+                if has_gt:
+                    errors.extend(float(v) for v in m["v2v_cm"])
+                else:
+                    no_gt.extend(float(v) for v in m["v2v_vs_input_cm"])
             else:
-                no_gt.append(metrics["v2v_vs_input_cm"])
+                for i in idxs:
+                    noisy, gt_arr = clips[i]
+                    _, m = denoiser.optimize(
+                        jnp.asarray(noisy),
+                        jnp.asarray(gt_arr) if gt_arr is not None else None,
+                        iterations=iterations,
+                        steps_per_iter=steps_per_iter)
+                    if "v2v_cm" in m:
+                        errors.append(m["v2v_cm"])
+                    else:
+                        no_gt.append(m["v2v_vs_input_cm"])
         results[level] = np.asarray(errors, np.float64)
         mean = results[level].mean() if len(errors) else float("nan")
         print(f"{level}: {len(errors)} seqs, mean v2v {mean:.4f} cm")

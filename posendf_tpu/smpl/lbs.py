@@ -262,13 +262,22 @@ def lbs_forward(
         Rp = Rg[:, ps]                      # (B, n, 3, 3)
         tp = tg[:, ps]                      # (B, n, 3)
         offset = joints_rest[:, js] - joints_rest[:, ps]
-        Rg = Rg.at[:, js].set(jnp.einsum("bnij,bnjk->bnik", Rp, rot[:, js]))
-        tg = tg.at[:, js].set(tp + jnp.einsum("bnij,bnj->bni", Rp, offset))
+        # 3x3 composes as broadcast-mul+sum, NOT einsum: under an extra
+        # vmap batch dim (optimize_many's clip axis) XLA 0.9's optimizer
+        # mis-reorders the batch dims of the resulting multi-batch small
+        # dot and fails its own hlo verifier; elementwise ops lower
+        # identically on the VPU (3x3 never hits the MXU either way)
+        Rg = Rg.at[:, js].set(
+            jnp.sum(Rp[..., :, :, None] * rot[:, js][..., None, :, :],
+                    axis=-2))
+        tg = tg.at[:, js].set(tp + jnp.sum(Rp * offset[..., None, :],
+                                           axis=-1))
 
     # skinning: x -> Rg_j (x - j_rest) + tg_j, blended by weights
     # t_skin_j = tg_j - Rg_j @ j_rest_j
-    t_skin = tg - jnp.einsum("bjik,bjk->bji", Rg, joints_rest)
+    t_skin = tg - jnp.sum(Rg * joints_rest[..., None, :], axis=-1)
     R_blend = jnp.einsum("vj,bjik->bvik", model.lbs_weights, Rg)
     t_blend = jnp.einsum("vj,bji->bvi", model.lbs_weights, t_skin)
-    vertices = jnp.einsum("bvik,bvk->bvi", R_blend, v_posed) + t_blend
+    vertices = (jnp.sum(R_blend * v_posed[..., None, :], axis=-1)
+                + t_blend)
     return vertices, tg

@@ -590,3 +590,56 @@ def test_complete_by_retrieval_exact_recovery_invariant():
     done = complete_by_retrieval(corpus, bad, occ, k=1, temporal_window=1)
     dots = np.abs(np.sum(done[:, occ] * gt[:, occ], -1))
     np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+def test_optimize_many_matches_serial(field, body):
+    """The batched vmapped solve must reproduce the serial per-clip solves
+    (clips are independent; vmap only changes the batching), including the
+    per-clip adaptive runtime scalars."""
+    module, params = field
+    rng = np.random.default_rng(17)
+    clips = rng.normal(scale=0.25, size=(3, 5, 69)).astype(np.float32)
+    gt = rng.normal(scale=0.2, size=(3, 5, 69)).astype(np.float32)
+
+    for specs in (None, "adaptive"):
+        den = MotionDenoiser(module, params, body, specs=specs)
+        many_pose, many_m = den.optimize_many(
+            jnp.asarray(clips), jnp.asarray(gt),
+            iterations=2, steps_per_iter=4)
+        assert many_pose.shape == (3, 5, 69)
+        for c in range(3):
+            pose_c, m_c = den.optimize(
+                jnp.asarray(clips[c]), jnp.asarray(gt[c]),
+                iterations=2, steps_per_iter=4)
+            np.testing.assert_allclose(np.asarray(many_pose[c]),
+                                       np.asarray(pose_c), atol=2e-5)
+            for k in ("v2v_cm", "v2v_input_cm", "final_pose_pr"):
+                np.testing.assert_allclose(many_m[k][c], m_c[k], atol=1e-4,
+                                           rtol=1e-3)
+            if specs == "adaptive":
+                np.testing.assert_allclose(many_m["noise_level_s"][c],
+                                           m_c["noise_level_s"], atol=1e-6)
+
+    with pytest.raises(ValueError, match="clips, frames, dofs"):
+        MotionDenoiser(module, params, body).optimize_many(
+            jnp.asarray(clips[0]))
+
+
+def test_run_sweep_batched_matches_serial(tmp_path, field, body):
+    """The sweep's batched (vmapped optimize_many) path must score every
+    sequence like the serial path — same per-level v2v arrays."""
+    from posendf_tpu.experiments.denoise_benchmark import (run_sweep,
+                                                           synthesize_grid)
+
+    module, params = field
+    root = synthesize_grid(str(tmp_path / "g"), grid=((0.1, 6),),
+                           seqs_per_level=3, seed=4, family_seed=11)
+    den = MotionDenoiser(module, params, body)
+    serial = run_sweep(den, root, iterations=1, steps_per_iter=3,
+                       batch_clips=False)
+    batched = run_sweep(den, root, iterations=1, steps_per_iter=3,
+                        batch_clips=True)
+    assert set(serial) == set(batched)
+    for level in serial:
+        np.testing.assert_allclose(batched[level], serial[level],
+                                   atol=1e-4, rtol=1e-4)
