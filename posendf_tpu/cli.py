@@ -319,7 +319,8 @@ def cmd_denoise_bench(args):
     specs = {"balanced": BALANCED_SPECS, "adaptive": "adaptive"}.get(args.specs)
     denoiser = MotionDenoiser(module, params, bm, specs=specs)
     run_sweep(denoiser, data_root, iterations=args.iterations,
-              steps_per_iter=args.steps_per_iter, out_path=args.out)
+              steps_per_iter=args.steps_per_iter, out_path=args.out,
+              batch_clips=not getattr(args, "serial_clips", False))
 
 
 def cmd_prepare_data(args):
@@ -501,6 +502,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seqs-per-level", type=int, default=2)
     p.add_argument("--iterations", type=int, default=10)
     p.add_argument("--steps-per-iter", type=int, default=50)
+    p.add_argument("--serial-clips", action="store_true",
+                   help="solve clips one at a time instead of the default "
+                        "batched vmapped solve per level (the escape hatch "
+                        "if a shape hits a compiler issue under vmap; "
+                        "results are equivalence-tested identical)")
     p.add_argument("--specs", choices=("reference", "balanced", "adaptive"),
                    default="reference",
                    help="anneal schedule for every solve in the sweep "

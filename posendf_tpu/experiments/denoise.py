@@ -35,7 +35,8 @@ from posendf_tpu.smpl import BodyModel
 from posendf_tpu.smpl.lbs import lbs_forward, with_landmarks
 
 __all__ = ["MotionDenoiser", "DENOISE_SPECS", "BALANCED_SPECS",
-           "ADAPTIVE_SPECS", "estimate_clip_noise", "adaptive_runtime",
+           "ADAPTIVE_SPECS", "estimate_clip_noise",
+           "estimate_clip_noise_many", "adaptive_runtime",
            "v2v_cm", "run_cli"]
 
 
@@ -109,6 +110,16 @@ def adaptive_runtime(s: float, prior_gain: float = 1.0) -> dict:
         "data": {"anneal": jnp.float32(-s),
                  "active_after": jnp.float32(s - 1.0)},
     }
+
+
+@functools.lru_cache(maxsize=8)
+def _noise_stat_fn_many(module, sigma_ref: float, floor_steps: int):
+    """Vmapped (over a clip axis) variant of ``_noise_stat_fn`` — the
+    batched solve estimates every clip's field statistics in ONE dispatch
+    (a serial per-clip loop would pay a host round-trip per clip, undoing
+    the point of ``optimize_many``)."""
+    return jax.jit(jax.vmap(_noise_stat_fn(module, sigma_ref, floor_steps),
+                            in_axes=(None, 0, 0)))
 
 
 @functools.lru_cache(maxsize=8)
@@ -204,11 +215,62 @@ def estimate_clip_noise(module, params, quats: jax.Array,
             "d_floor": d_floor, "d_probe": d_probe}
 
 
-def v2v_cm(verts_a: jax.Array, verts_b: jax.Array) -> float:
+def estimate_clip_noise_many(module, params, quats: jax.Array,
+                             key: "jax.Array" = None, *,
+                             sigma_ref: float = 0.1,
+                             sigma_ref_temporal: float = 0.2,
+                             floor_steps: int = 10) -> list:
+    """Batched :func:`estimate_clip_noise` over a clip stack
+    ``(C, T, J, 4)`` — ONE vmapped device dispatch for all clips' field
+    statistics (the three numbers each cost two forwards + a short
+    projection), temporal sensor on host per clip. Returns a list of C
+    per-clip dicts identical to the serial estimator's."""
+    from posendf_tpu.quat import quaternion_to_axis_angle
+
+    if key is None:
+        key = jax.random.key(0)
+    C, T = quats.shape[:2]
+    # the SAME probe key for every clip — matches the serial estimator's
+    # default draw exactly (the probe is a fixed reference-noise draw;
+    # sharing it across clips is what a serial sweep did all along)
+    keys = jnp.broadcast_to(key, (C,) + jnp.shape(key))
+    stats = _noise_stat_fn_many(module, float(sigma_ref), int(floor_steps))
+    d_input, d_floor, d_probe = (np.asarray(x)
+                                 for x in stats(params, quats, keys))
+    aa_all = np.asarray(quaternion_to_axis_angle(quats)).reshape(C, T, -1)
+
+    out = []
+    for c in range(C):
+        span = float(d_probe[c] - d_floor[c])
+        s_field = ((float(d_input[c]) - float(d_floor[c])) / span
+                   if span > 1e-12 else 0.0)
+        s_field = float(np.clip(s_field, 0.0, 1.0))
+        s_temporal = 0.0
+        if T >= 3:
+            aa = aa_all[c]
+            d1 = float(np.mean((aa[1:] - aa[:-1]) ** 2))
+            d2 = float(np.mean((aa[2:] - aa[:-2]) ** 2))
+            n2 = max((4.0 * d1 - d2) / 6.0, 0.0)
+            s_temporal = float(np.clip(np.sqrt(n2) / sigma_ref_temporal,
+                                       0.0, 1.0))
+        out.append({"s": max(s_field, s_temporal), "s_field": s_field,
+                    "s_temporal": s_temporal,
+                    "d_input": float(d_input[c]),
+                    "d_floor": float(d_floor[c]),
+                    "d_probe": float(d_probe[c])})
+    return out
+
+
+def v2v_cm(verts_a: jax.Array, verts_b: jax.Array, axis=None):
     """Mean per-vertex distance in centimeters (reference metric,
-    ``motion_denoise.py:119``)."""
+    ``motion_denoise.py:119``). ``axis=None`` (default) reduces over
+    everything and returns a float; an axis tuple (e.g. ``(1, 2)`` for a
+    (C, T, V, 3) clip stack) returns a per-clip ndarray — ONE formula for
+    the serial and batched paths."""
     d = jnp.sqrt(jnp.sum((verts_a - verts_b) ** 2, axis=-1))
-    return float(jnp.mean(d) * 100.0)
+    if axis is None:
+        return float(jnp.mean(d) * 100.0)
+    return np.asarray(jnp.mean(d, axis=axis) * 100.0)
 
 
 class MotionDenoiser:
@@ -449,6 +511,19 @@ class MotionDenoiser:
                 raise ValueError(
                     f"gt stack {gt.shape[:2]} does not match the noisy "
                     f"stack {(C, T)}")
+        if betas is not None:
+            # one shared betas vector, pre-broadcast to the flattened
+            # (C*T) frame batch (BodyModel returns betas AS PASSED, so a
+            # bare (num_betas,) vector would not reshape to (C, T, -1))
+            b = jnp.asarray(betas)
+            if b.ndim == 1:
+                b = b[None]
+            if b.shape[0] == 1:
+                betas = jnp.broadcast_to(b, (C * T, b.shape[1]))
+            elif b.shape[0] != C * T:
+                raise ValueError(
+                    f"betas must be None, (num_betas,), or per-frame "
+                    f"({C * T}, num_betas); got {b.shape}")
         init_out = self.body_model(pose_body=noisy.reshape(C * T, -1),
                                    betas=betas)
         pose0 = init_out.body_pose.reshape(C, T, 69)
@@ -475,10 +550,13 @@ class MotionDenoiser:
             axes.append(("data_joint_mask", None))
         noise_s = None
         if self.adaptive:
-            ests = [estimate_clip_noise(self.module, self.params,
-                                        axis_angle_to_quaternion(
-                                            noisy[c, :, :63].reshape(T, 21, 3)))
-                    for c in range(C)]
+            # all clips' field statistics in ONE vmapped dispatch (a
+            # serial estimator loop would pay a host round-trip per clip,
+            # halving the batched solve's win on a relay-attached chip)
+            in_quats = axis_angle_to_quaternion(
+                noisy[:, :, :63].reshape(C, T, 21, 3))
+            ests = estimate_clip_noise_many(self.module, self.params,
+                                            in_quats)
             runtimes = [adaptive_runtime(e["s"], self.prior_gain)
                         for e in ests]
             aux["anneal_runtime"] = jax.tree_util.tree_map(
@@ -496,12 +574,8 @@ class MotionDenoiser:
                               betas=betas)
         out_verts = out.vertices.reshape(C, T, *out.vertices.shape[1:])
 
-        def per_clip_v2v(a, b):
-            d = jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1))
-            return np.asarray(jnp.mean(d, axis=(1, 2)) * 100.0)
-
         metrics: Dict[str, np.ndarray] = {
-            "v2v_vs_input_cm": per_clip_v2v(out_verts, init_verts),
+            "v2v_vs_input_cm": v2v_cm(out_verts, init_verts, axis=(1, 2)),
             "final_pose_pr": np.asarray(history["pose_pr"][:, -1]),
             "final_temp": np.asarray(history["temp"][:, -1]),
         }
@@ -511,8 +585,9 @@ class MotionDenoiser:
             gt_out = self.body_model(pose_body=gt.reshape(C * T, -1),
                                      betas=betas)
             gt_verts = gt_out.vertices.reshape(C, T, *gt_out.vertices.shape[1:])
-            metrics["v2v_cm"] = per_clip_v2v(out_verts, gt_verts)
-            metrics["v2v_input_cm"] = per_clip_v2v(init_verts, gt_verts)
+            metrics["v2v_cm"] = v2v_cm(out_verts, gt_verts, axis=(1, 2))
+            metrics["v2v_input_cm"] = v2v_cm(init_verts, gt_verts,
+                                             axis=(1, 2))
         return final_pose, metrics
 
 

@@ -119,7 +119,11 @@ def run_sweep(
                 noisy = noisy[: len(gt_arr)]
             clips.append((noisy, gt_arr))
 
-        # group same-shape clips for the batched solve; the rest go serial
+        # group same-shape clips for the batched solve; the rest go serial.
+        # Scores land in per-INDEX slots so the result arrays keep the
+        # sorted-sequence-name order regardless of grouping (saved tables
+        # stay row-compatible with pre-batching runs)
+        per_idx: Dict[int, Tuple[bool, float]] = {}
         groups: Dict[tuple, List[int]] = {}
         for i, (noisy, gt_arr) in enumerate(clips):
             groups.setdefault((len(noisy), gt_arr is not None), []).append(i)
@@ -131,10 +135,9 @@ def run_sweep(
                 _, m = denoiser.optimize_many(
                     stack, gt_stack,
                     iterations=iterations, steps_per_iter=steps_per_iter)
-                if has_gt:
-                    errors.extend(float(v) for v in m["v2v_cm"])
-                else:
-                    no_gt.extend(float(v) for v in m["v2v_vs_input_cm"])
+                scores = m["v2v_cm"] if has_gt else m["v2v_vs_input_cm"]
+                for i, v in zip(idxs, scores):
+                    per_idx[i] = (has_gt, float(v))
             else:
                 for i in idxs:
                     noisy, gt_arr = clips[i]
@@ -144,9 +147,12 @@ def run_sweep(
                         iterations=iterations,
                         steps_per_iter=steps_per_iter)
                     if "v2v_cm" in m:
-                        errors.append(m["v2v_cm"])
+                        per_idx[i] = (True, m["v2v_cm"])
                     else:
-                        no_gt.append(m["v2v_vs_input_cm"])
+                        per_idx[i] = (False, m["v2v_vs_input_cm"])
+        for i in range(len(clips)):
+            has_gt, v = per_idx[i]
+            (errors if has_gt else no_gt).append(v)
         results[level] = np.asarray(errors, np.float64)
         mean = results[level].mean() if len(errors) else float("nan")
         print(f"{level}: {len(errors)} seqs, mean v2v {mean:.4f} cm")

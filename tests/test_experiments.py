@@ -643,3 +643,43 @@ def test_run_sweep_batched_matches_serial(tmp_path, field, body):
     for level in serial:
         np.testing.assert_allclose(batched[level], serial[level],
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_optimize_many_shared_betas_and_order_stability(tmp_path, field, body):
+    """Regressions from review: (a) a shared (num_betas,) betas vector must
+    work in the batched solve (BodyModel returns betas as passed, so it
+    needs pre-broadcast); (b) run_sweep's per-level score arrays keep the
+    sorted-sequence order even when same-shape grouping batches clips out
+    of order (mixed-length level)."""
+    from posendf_tpu.experiments.denoise_benchmark import run_sweep
+
+    module, params = field
+    rng = np.random.default_rng(19)
+    clips = rng.normal(scale=0.2, size=(2, 4, 69)).astype(np.float32)
+    den = MotionDenoiser(module, params, body)
+    out, m = den.optimize_many(jnp.asarray(clips),
+                               betas=jnp.zeros(body.num_betas),
+                               iterations=1, steps_per_iter=2)
+    assert out.shape == (2, 4, 69)
+    with pytest.raises(ValueError, match="betas"):
+        den.optimize_many(jnp.asarray(clips),
+                          betas=jnp.zeros((3, body.num_betas)),
+                          iterations=1, steps_per_iter=2)
+
+    level = tmp_path / "grid" / "mixed"
+    for i, T in enumerate((6, 4, 6)):   # seq01 (len 4) sorts between the 6s
+        d = level / f"seq{i:02d}"
+        d.mkdir(parents=True)
+        gt = rng.normal(scale=0.2, size=(T, 63)).astype(np.float32)
+        np.savez(d / "gt_results.npz", pose_body=gt)
+        np.savez(d / "observations.npz",
+                 pose_body=gt + 0.1 * rng.standard_normal(gt.shape
+                                                          ).astype(np.float32))
+    serial = run_sweep(den, str(tmp_path / "grid"), iterations=1,
+                       steps_per_iter=2, batch_clips=False)
+    batched = run_sweep(den, str(tmp_path / "grid"), iterations=1,
+                        steps_per_iter=2, batch_clips=True)
+    # element-by-element (NOT as sets): positional order must match
+    np.testing.assert_allclose(batched["mixed"], serial["mixed"],
+                               atol=1e-4, rtol=1e-4)
+    assert len(serial["mixed"]) == 3
