@@ -61,6 +61,7 @@ def run_cli(args) -> None:
     module, params = _load_params(cfg, args.ckpt)
     if bool(args.pose_a) != bool(args.pose_b):
         raise SystemExit("--pose-a and --pose-b must be given together")
+    random_endpoints = False
     if args.pose_a and args.pose_b:
         pose_a = _load_endpoint(args.pose_a)
         pose_b = _load_endpoint(args.pose_b)
@@ -69,7 +70,19 @@ def run_cli(args) -> None:
         ka, kb = jax.random.split(key)
         pose_a = random_poses(ka, 1)[0]
         pose_b = random_poses(kb, 1)[0]
+        random_endpoints = True
     path, dist = interpolate(module, params, pose_a, pose_b, num_steps=args.num_steps)
+    if random_endpoints:
+        # measured on trained fields (docs/quality/interp_closed_loop_*.json):
+        # uniform-random poses sit ~5x beyond the max training label, where
+        # the field reads near-zero and projection has no signal — the
+        # small printed distances then do NOT mean the path is on-manifold
+        print("NOTE: interpolating between RANDOM poses (no --pose-a/-b). "
+              "Far off-manifold is outside the trained field's validity "
+              "shell — the field under-reports distance there and the "
+              "projected path generally stays far from real poses "
+              "(ARCHITECTURE §7). Pass real pose endpoints for meaningful "
+              "interpolation.")
     print(f"interpolated {args.num_steps} steps; field distance per waypoint:")
     print(" ".join(f"{float(d):.5f}" for d in dist))
     if args.out:
